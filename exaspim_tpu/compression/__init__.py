@@ -1,0 +1,28 @@
+"""Chunked compression codecs and the compression-ratio product metric.
+
+The reference's product metric is a Zarr-style chunked blosc-zstd
+compression ratio (reference img_util.py:401-441, train.py:105). Python
+blosc bindings are not assumed; :mod:`exaspim_tpu.compression.blosc` binds
+the system ``libblosc`` directly via ctypes (bit-identical ratios), with a
+pure zstandard+shuffle fallback. A native C++ fast path
+(:mod:`exaspim_tpu.compression.native`) walks the chunk grid without the
+Python loop, and :mod:`exaspim_tpu.compression.proxy` provides a
+device-side differentiably-monitorable compressibility estimate for
+in-loop use.
+"""
+
+from exaspim_tpu.compression.blosc import BloscCodec, ZstdShuffleCodec, best_codec
+from exaspim_tpu.compression.cratio import (
+    compress_and_decompress_2d,
+    compute_cratio,
+    compute_cratio_2d,
+)
+
+__all__ = [
+    "BloscCodec",
+    "ZstdShuffleCodec",
+    "best_codec",
+    "compute_cratio",
+    "compute_cratio_2d",
+    "compress_and_decompress_2d",
+]

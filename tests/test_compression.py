@@ -1,0 +1,103 @@
+"""Compression-ratio metric tests (reference img_util.py:401-513 parity).
+
+Covers the chunked blosc cratio (the product metric / checkpoint-selection
+signal), edge-chunk handling, 5D input promotion, the pure-Python vs
+native-C++ path equivalence, and the generic 2D-slice codec paths.
+"""
+
+import numpy as np
+import pytest
+
+from exaspim_tpu.compression import (
+    BloscCodec,
+    ZstdShuffleCodec,
+    best_codec,
+    compress_and_decompress_2d,
+    compute_cratio,
+    compute_cratio_2d,
+)
+from exaspim_tpu.compression import native
+
+
+def _poisson_volume(shape=(96, 96, 96), lam=80, offset=37, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.poisson(lam, shape) + offset).astype(np.uint16)
+
+
+class _RawCodec:
+    """Stores bytes verbatim — ratio must be exactly 1.0."""
+
+    config = {"id": "raw"}
+
+    def encode(self, buf):
+        return np.ascontiguousarray(buf).tobytes()
+
+    def decode(self, buf):
+        return np.frombuffer(buf, dtype=np.uint16)
+
+
+def test_cratio_raw_codec_is_one():
+    img = _poisson_volume((64, 64, 64))
+    assert compute_cratio(img, _RawCodec(), use_native=False) == 1.0
+
+
+def test_cratio_constant_volume_compresses_well():
+    img = np.full((64, 64, 64), 123, dtype=np.uint16)
+    codec = best_codec(clevel=6)
+    assert compute_cratio(img, codec) > 50
+
+
+def test_cratio_ragged_edges_and_5d_input():
+    img = _poisson_volume((70, 65, 64))
+    codec = best_codec(clevel=6)
+    r3 = compute_cratio(img, codec)
+    r5 = compute_cratio(img[None, None], codec)
+    assert r3 == r5 > 1.0
+
+
+def test_blosc_roundtrip():
+    codec = best_codec(clevel=6)
+    img = _poisson_volume((32, 32, 32))
+    out = np.frombuffer(codec.decode(codec.encode(img)), dtype=np.uint16)
+    np.testing.assert_array_equal(out, img.ravel())
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_matches_python_path():
+    img = _poisson_volume((130, 100, 70), seed=3)
+    codec = BloscCodec(cname="zstd", clevel=6, shuffle=1)
+    assert compute_cratio(img, codec, use_native=False) == compute_cratio(
+        img, codec, use_native=True
+    )
+
+
+def test_zstd_fallback_codec_ratio_close_to_blosc():
+    img = _poisson_volume((64, 64, 64), seed=1)
+    r_blosc = compute_cratio(img, BloscCodec(clevel=6), use_native=False)
+    r_zstd = compute_cratio(img, ZstdShuffleCodec(clevel=6), use_native=False)
+    assert abs(r_blosc - r_zstd) / r_blosc < 0.25
+
+
+class _Flat2D:
+    """Trivial 2D codec: raw bytes, identity round-trip."""
+
+    def encode(self, sl):
+        self.last_shape = sl.shape
+        self.last_dtype = sl.dtype
+        return np.ascontiguousarray(sl).tobytes()
+
+    def decode(self, buf):
+        return np.frombuffer(buf, dtype=self.last_dtype).reshape(
+            self.last_shape
+        )
+
+
+def test_cratio_2d_and_roundtrip_2d():
+    img = _poisson_volume((32, 40, 24), seed=2)
+    codec = _Flat2D()
+    assert compute_cratio_2d(img, codec, patch_shape=(16, 16, 16)) == 1.0
+    out, ratio = compress_and_decompress_2d(
+        img, codec, patch_shape=(16, 16, 16)
+    )
+    assert ratio == 1.0
+    np.testing.assert_array_equal(out, img)
