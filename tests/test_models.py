@@ -1,0 +1,123 @@
+"""UNet3D / N2V2UNet model-family tests.
+
+Mirrors the reference's model assertions (reference unet3d.py:574-590
+smoke test, tests/test_review_regressions.py:90-106: width-multiplier
+validation, GroupNorm divisibility, config round-trip) on the Flax
+implementation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exaspim_tpu.models import MODEL_REGISTRY, N2V2UNet, UNet, build_model
+from exaspim_tpu.models.unet3d import _norm_groups, blur_pool3d, max_pool3d
+
+
+SMALL = {"width_multiplier": 0.25}
+
+
+def _init(model, shape=(1, 16, 16, 16, 1)):
+    x = jnp.zeros(shape, jnp.float32)
+    return model.init(jax.random.key(0), x), x
+
+
+@pytest.mark.parametrize("cls", [UNet, N2V2UNet])
+def test_shape_preserving_and_residual(cls):
+    model = cls(**SMALL)
+    params, x = _init(model)
+    y = model.apply(params, x)
+    assert y.shape == x.shape
+    # Residual head: zero logits at init-ish means output ~ input scale;
+    # with a constant input the output must stay finite and close.
+    xc = jnp.full_like(x, 0.5)
+    yc = model.apply(params, xc)
+    assert np.all(np.isfinite(np.asarray(yc)))
+
+
+def test_residual_output_is_input_plus_logits():
+    model = UNet(**SMALL)
+    params, x = _init(model)
+    xr = jax.random.normal(jax.random.key(1), x.shape)
+    y = model.apply(params, xr)
+    # Perturbing the input by delta shifts output by ~delta plus the
+    # network's (small, smooth) response — not a pure function of x alone.
+    assert not np.allclose(np.asarray(y), 0.0)
+
+
+def test_config_roundtrip_and_registry():
+    for name, cls in MODEL_REGISTRY.items():
+        model = cls(width_multiplier=0.25, trilinear=True)
+        cfg = model.config
+        assert cfg["model"] == name
+        rebuilt = build_model(cfg)
+        assert type(rebuilt) is cls
+        assert rebuilt.width_multiplier == 0.25
+    with pytest.raises(ValueError):
+        build_model({"model": "NoSuchNet"})
+
+
+def test_width_multiplier_validation():
+    with pytest.raises(ValueError):
+        UNet(width_multiplier=0.01)._channels()
+
+
+def test_norm_groups_divides_channels():
+    for c in (8, 16, 24, 32, 100, 12, 4, 1):
+        g = _norm_groups(c)
+        assert c % g == 0
+
+
+def test_rebuilt_model_reproduces_outputs():
+    model = UNet(**SMALL)
+    params, _ = _init(model)
+    x = jax.random.normal(jax.random.key(2), (1, 16, 16, 16, 1))
+    y1 = model.apply(params, x)
+    y2 = build_model(model.config).apply(params, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_n2v2_odd_shape_repadded():
+    model = N2V2UNet(**SMALL)
+    params, _ = _init(model, (1, 24, 24, 24, 1))
+    x = jnp.zeros((1, 24, 24, 24, 1))
+    assert model.apply(params, x).shape == x.shape
+
+
+def test_bf16_compute_dtype():
+    model = UNet(width_multiplier=0.25, dtype=jnp.bfloat16)
+    params, x = _init(model)
+    y = model.apply(params, x)
+    # Residual head returns in the input dtype; params stay f32.
+    assert y.dtype == jnp.float32
+    leaf = jax.tree.leaves(params)[0]
+    assert leaf.dtype == jnp.float32
+
+
+def test_blur_pool_antialiases():
+    # A Nyquist-frequency stripe pattern aliases badly under plain
+    # stride-2 max pooling; blur-pool attenuates it.
+    z = jnp.arange(16)
+    stripes = jnp.broadcast_to(
+        (z % 2).astype(jnp.float32)[None, :, None, None, None],
+        (1, 16, 16, 16, 1),
+    )
+    plain = max_pool3d(stripes, 2)
+    blurred = blur_pool3d(max_pool3d(stripes, 2, stride=1), stride=2)
+    assert float(jnp.var(blurred)) <= float(jnp.var(plain)) + 1e-6
+    assert blurred.shape == (1, 8, 8, 8, 1)
+
+
+def test_gradients_flow():
+    model = UNet(**SMALL)
+    params, x = _init(model)
+
+    def loss(p):
+        return jnp.mean(model.apply(p, x + 0.1) ** 2)
+
+    grads = jax.grad(loss)(params)
+    total = sum(
+        float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads)
+    )
+    assert total > 0
