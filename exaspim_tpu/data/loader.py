@@ -1,0 +1,178 @@
+"""Deterministic prefetching data loader (host → TPU pipeline).
+
+TPU-analogue of the reference's producer-thread DataLoader
+(reference data_handling.py:1236-1384): a background producer builds
+batches into a bounded queue so host-side batch prep overlaps device
+compute, with
+
+* deterministic per-epoch shuffles from ``SeedSequence([seed, epoch])``
+  (reference data_handling.py:1311-1314) — identical order for identical
+  seeds regardless of worker timing,
+* exceptions forwarded to the consumer (not swallowed in the thread),
+* ``set_epoch`` for epoch-specific reshuffles,
+* channels-last ``(B, D, H, W, 1)`` float32 batches — the TPU layout —
+  built by pluggable collate functions that apply the frozen intensity
+  transform and the ``where(fg, raw, teacher)`` foreground-preserving
+  target rule (reference data_handling.py:48-86).
+
+An optional ``prefetch_to_device`` wrapper double-buffers batches into
+HBM with ``jax.device_put`` so the accelerator never waits on PCIe.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+__all__ = [
+    "DataLoader",
+    "make_train_collate",
+    "make_val_collate",
+    "prefetch_to_device",
+]
+
+
+def _to_net(x):
+    """(B, z, y, x) float → (B, z, y, x, 1) float32 channels-last."""
+    return np.asarray(x, dtype=np.float32)[..., None]
+
+
+def make_train_collate(transform, preserve_foreground=False):
+    """Collate (raw, teacher, fg) count-space items → (x, y, fg) batch.
+
+    ``y = transform(where(fg, raw, teacher))`` when
+    ``preserve_foreground`` — the net learns to keep measured foreground
+    counts verbatim (reference data_handling.py:48-86).
+    """
+
+    def collate(items):
+        raw = np.stack([it[0] for it in items])
+        teacher = np.stack([it[1] for it in items])
+        fg = np.stack([it[2] for it in items]).astype(bool)
+        target = np.where(fg, raw, teacher) if preserve_foreground else teacher
+        x = transform.forward(raw.astype(np.float32))
+        y = transform.forward(target.astype(np.float32))
+        return _to_net(x), _to_net(y), fg[..., None]
+
+    return collate
+
+
+def make_val_collate(transform):
+    """Collate (raw, teacher, raw, fg) items → (x, y, raw_counts, fg)."""
+
+    def collate(items):
+        raw = np.stack([it[0] for it in items])
+        teacher = np.stack([it[1] for it in items])
+        counts = np.stack([it[2] for it in items])
+        fg = np.stack([it[3] for it in items]).astype(bool)
+        x = transform.forward(raw.astype(np.float32))
+        y = transform.forward(teacher.astype(np.float32))
+        return _to_net(x), _to_net(y), counts, fg[..., None]
+
+    return collate
+
+
+class DataLoader:
+    """Prefetching batch loader over a map-style dataset.
+
+    Parameters mirror the reference loader where they matter:
+    ``shuffle`` + ``seed`` give the deterministic epoch permutation,
+    ``prefetch`` bounds the producer queue, ``drop_last=False`` keeps the
+    final partial batch (validation semantics, reference
+    data_handling.py:1361-1384).
+    """
+
+    _STOP = object()
+
+    def __init__(self, dataset, batch_size, collate, shuffle=False,
+                 seed=0, prefetch=2, drop_last=False):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.collate = collate
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = int(prefetch)
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = int(epoch)
+
+    def _order(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch])
+            )
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self):
+        order = self._order()
+        q = queue.Queue(maxsize=max(1, self.prefetch))
+
+        def producer():
+            try:
+                for lo in range(0, len(order), self.batch_size):
+                    idx = order[lo:lo + self.batch_size]
+                    if self.drop_last and len(idx) < self.batch_size:
+                        break
+                    items = [self.dataset[int(i)] for i in idx]
+                    q.put(self.collate(items))
+                q.put(self._STOP)
+            except BaseException as exc:  # forwarded, not swallowed
+                q.put(exc)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is self._STOP:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+def prefetch_to_device(iterator, size=2):
+    """Double-buffer host batches into device HBM.
+
+    Keeps ``size`` batches in flight via ``jax.device_put`` so the next
+    transfer overlaps the current step — the TPU analogue of the
+    reference's pinned-memory prefetch.
+    """
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+
+    def _put(batch):
+        return jax.tree.map(
+            lambda a: jax.device_put(a) if isinstance(
+                a, np.ndarray
+            ) else a,
+            batch,
+        )
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(_put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(_put(next(it)))
+        except StopIteration:
+            pass
+        yield out

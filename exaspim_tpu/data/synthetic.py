@@ -1,0 +1,148 @@
+"""Synthetic ExaSPIM-like phantom volumes and patch datasets.
+
+The reference trains exclusively on cloud-hosted brain volumes; this
+module provides a procedural stand-in — randomly-oriented PSF-blurred
+neurite tubes over a pedestal background with Poisson shot noise — so the
+full pipeline (precompute → train → tiled inference → evaluate → bench)
+runs hermetically. It follows the reference's phantom philosophy
+(reference tests/test_metrics.py synthesizes blobs/salt-pepper instead of
+loading data) scaled up to a data source.
+
+Teacher targets come from the classical denoiser in
+:mod:`exaspim_tpu.ops.bm4d` when available, else a Gaussian surrogate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage
+
+__all__ = [
+    "neurite_phantom",
+    "noisy_observation",
+    "SyntheticPatchDataset",
+    "make_synthetic_cache",
+]
+
+
+def neurite_phantom(shape=(128, 128, 128), n_tubes=12, radius_range=(1.0, 3.0),
+                    intensity_range=(500.0, 6000.0), background=110.0,
+                    psf_sigma=1.1, seed=0):
+    """Clean (noise-free) phantom: random neurite tubes + background.
+
+    Returns float32 "true" photon rates and the boolean foreground mask of
+    tube voxels (pre-PSF), analogous to the annotation masks the
+    reference derives from segmentations/SWC skeletons.
+    """
+    rng = np.random.default_rng(seed)
+    clean = np.zeros(shape, dtype=np.float32)
+    fg = np.zeros(shape, dtype=bool)
+    zz, yy, xx = np.meshgrid(
+        *[np.arange(s, dtype=np.float32) for s in shape], indexing="ij"
+    )
+    pts = np.stack([zz, yy, xx], axis=-1)
+    for _ in range(n_tubes):
+        p0 = rng.uniform(0, shape, size=3).astype(np.float32)
+        direction = rng.normal(size=3).astype(np.float32)
+        direction /= np.linalg.norm(direction) + 1e-9
+        radius = rng.uniform(*radius_range)
+        value = rng.uniform(*intensity_range)
+        # Distance from each voxel to the infinite line through p0.
+        rel = pts - p0
+        along = rel @ direction
+        perp2 = np.sum(rel * rel, axis=-1) - along**2
+        tube = perp2 <= radius**2
+        clean[tube] += value
+        fg |= tube
+    clean = ndimage.gaussian_filter(clean, sigma=psf_sigma)
+    clean += background
+    return clean.astype(np.float32), fg
+
+
+def noisy_observation(clean, gain=1.0, read_noise=3.0, seed=0):
+    """Poisson shot noise + Gaussian read noise, clipped to uint16."""
+    rng = np.random.default_rng(seed)
+    counts = rng.poisson(np.maximum(clean, 0) / gain) * gain
+    counts = counts + rng.normal(0.0, read_noise, clean.shape)
+    return np.clip(np.round(counts), 0, 65535).astype(np.uint16)
+
+
+def _teacher(raw, sigma_bm4d=16.0):
+    """Classical denoised teacher: BM4D when built, Gaussian surrogate else."""
+    try:
+        from exaspim_tpu.ops.bm4d import bm4d
+
+        return np.clip(
+            np.round(np.asarray(bm4d(raw.astype(np.float32), sigma_bm4d))),
+            0, 65535,
+        ).astype(np.uint16)
+    except ImportError:
+        smoothed = ndimage.gaussian_filter(raw.astype(np.float32), 1.0)
+        return np.clip(np.round(smoothed), 0, 65535).astype(np.uint16)
+
+
+class SyntheticPatchDataset:
+    """Map-style dataset of (raw, teacher, fg) synthetic count patches.
+
+    Deterministic per index: item ``i`` is generated from
+    ``SeedSequence([seed, i])`` (the reference's seed-stream discipline,
+    reference scripts/precompute.py:73-89), so any worker layout produces
+    identical data.
+    """
+
+    fields = ("raw", "teacher", "fg")
+
+    def __init__(self, n=64, patch_shape=(64, 64, 64), seed=42,
+                 sigma_bm4d=16.0, use_bm4d_teacher=False):
+        self.n = int(n)
+        self.patch_shape = tuple(patch_shape)
+        self.seed = seed
+        self.sigma_bm4d = sigma_bm4d
+        self.use_bm4d_teacher = use_bm4d_teacher
+
+    def __len__(self):
+        return self.n
+
+    def _make(self, index):
+        ss = np.random.SeedSequence([self.seed, index])
+        s1, s2 = ss.spawn(2)
+        clean, fg = neurite_phantom(
+            self.patch_shape, n_tubes=4,
+            seed=int(s1.generate_state(1)[0]),
+        )
+        raw = noisy_observation(
+            clean, seed=int(s2.generate_state(1)[0])
+        )
+        if self.use_bm4d_teacher:
+            teacher = _teacher(raw, self.sigma_bm4d)
+        else:
+            teacher = np.clip(
+                np.round(ndimage.gaussian_filter(raw.astype(np.float32), 1.0)),
+                0, 65535,
+            ).astype(np.uint16)
+        return raw, teacher, fg
+
+    def __getitem__(self, index):
+        if not -self.n <= index < self.n:
+            raise IndexError(index)
+        return self._make(index % self.n)
+
+
+def make_synthetic_cache(cache_dir, n, patch_shape, transform_cfg, seed=42,
+                         **dataset_kwargs):
+    """Materialize a synthetic dataset into an on-disk cache directory."""
+    from exaspim_tpu.data.cache import allocate_cache
+
+    ds = SyntheticPatchDataset(
+        n=n, patch_shape=patch_shape, seed=seed, **dataset_kwargs
+    )
+    raw, teacher, fg = allocate_cache(
+        cache_dir, n, patch_shape, transform_cfg,
+        config={"source": "synthetic", "n": n, "patch_shape": patch_shape,
+                "seed": seed, **dataset_kwargs},
+    )
+    for i in range(n):
+        r, t, f = ds[i]
+        raw[i], teacher[i], fg[i] = r, t, f
+    raw.flush(), teacher.flush(), fg.flush()
+    return cache_dir
