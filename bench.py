@@ -1,0 +1,99 @@
+"""Headline benchmark: BM4DNet tiled-inference voxels/sec/chip on a 256³
+uint16 block (BASELINE.json config 3), with fidelity guards.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "voxels/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` compares against the CPU reference path (torch UNet tiled
+inference, reference inference.py:28-116) measured by
+``scripts/measure_reference_baseline.py`` and cached in
+``baseline_cpu.json``; a conservative recorded constant is used if the
+cache is absent.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+# Reference CPU path measured on this host via
+# scripts/measure_reference_baseline.py (torch-CPU UNet, patch 64,
+# overlap 12, trim 5, batch 32). Updated when the measurement script runs.
+DEFAULT_BASELINE_VOXSEC = 1.3e6
+
+BLOCK = 256
+PATCH, OVERLAP, TRIM, BATCH = 64, 12, 5, 32
+
+
+def _baseline():
+    path = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return float(json.load(f)["voxels_per_sec"])
+    return DEFAULT_BASELINE_VOXSEC
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from exaspim_tpu.data.synthetic import neurite_phantom, noisy_observation
+    from exaspim_tpu.inference import predict
+    from exaspim_tpu.models import UNet
+    from exaspim_tpu.ops.ssim import ssim3d
+    from exaspim_tpu.compression import best_codec, compute_cratio
+    from exaspim_tpu.transforms import build_transform
+
+    clean, _ = neurite_phantom((BLOCK, BLOCK, BLOCK), n_tubes=24, seed=0)
+    img = noisy_observation(clean, seed=1)
+
+    model = UNet(width_multiplier=1.0, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, PATCH, PATCH, PATCH, 1))
+    )["params"]
+    transform = build_transform(
+        {"kind": "asinh", "params": {"offset": 100.0, "scale": 60.0}}
+    )
+
+    kwargs = dict(
+        patch_size=PATCH, overlap=OVERLAP, trim=TRIM, batch_size=BATCH
+    )
+    # Warm-up: compile.
+    predict(img, model, params, transform, **kwargs)
+    # Timed steady-state runs.
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = predict(img, model, params, transform, **kwargs)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    voxsec = img.size / dt
+
+    # Fidelity guards (not timed): output must be a valid denoised volume.
+    ssim = float(ssim3d(
+        jnp.asarray(img, jnp.float32), jnp.asarray(out, jnp.float32),
+        data_range=float(img.max()),
+    ))
+    cr = compute_cratio(out, best_codec(clevel=6))
+
+    baseline = _baseline()
+    print(json.dumps({
+        "metric": "bm4dnet_tiled_inference_256c_uint16",
+        "value": round(voxsec, 1),
+        "unit": "voxels/sec/chip",
+        "vs_baseline": round(voxsec / baseline, 2),
+        "block": [BLOCK] * 3,
+        "patch": PATCH,
+        "overlap": OVERLAP,
+        "trim": TRIM,
+        "batch": BATCH,
+        "seconds_per_block": round(dt, 4),
+        "ssim_vs_noisy": round(ssim, 4),
+        "cratio_denoised": cr,
+        "n_devices": len(jax.devices()),
+    }))
+
+
+if __name__ == "__main__":
+    main()

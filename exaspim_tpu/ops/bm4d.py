@@ -1,0 +1,217 @@
+"""BM4D volumetric denoiser — TPU-native JAX implementation.
+
+Replaces the reference's vendored C++ ``bm4d`` binary (Tampere BM4D,
+reference data_handling.py:332, evaluate.py:202 — the single biggest CPU
+cost in the pipeline, reference scripts/precompute.py:3-10) with a
+pure-JAX/XLA implementation designed for the MXU:
+
+* **Static shapes everywhere**: fixed block size, fixed group size K,
+  fixed search window — block matching is a dense distance computation
+  over all window offsets followed by ``lax.top_k``; no data-dependent
+  control flow.
+* **Transforms as small matmuls**: the separable 3D DCT over block axes
+  and the 1D Haar/DCT across the group axis are einsums against tiny
+  orthonormal matrices — XLA batches thousands of them onto the MXU.
+* **Aggregation as scatter-add**: overlap-add of filtered groups uses
+  ``Array.at[].add`` with precomputed index grids.
+* Two-pass structure: stage 1 hard-thresholding produces the basic
+  estimate; stage 2 re-matches on the estimate and applies empirical
+  Wiener shrinkage (the classical algorithm's structure, reimplemented
+  from the published method, not from any source).
+
+The implementation is exact-shape jittable; ``bm4d()`` is the
+user-facing wrapper matching the reference call sites
+(``bm4d(raw, sigma)`` → denoised float array).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["bm4d", "bm4d_stage"]
+
+
+def _dct_matrix(n):
+    """Orthonormal DCT-II matrix (n, n)."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    mat = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    mat[0] *= 1.0 / np.sqrt(n)
+    mat[1:] *= np.sqrt(2.0 / n)
+    return jnp.asarray(mat, jnp.float32)
+
+
+def _block_dct3(groups, mat, inverse=False):
+    """Separable 3D DCT over the last three axes of (..., B, B, B)."""
+    m = mat.T if inverse else mat
+    groups = jnp.einsum("ij,...jkl->...ikl", m, groups)
+    groups = jnp.einsum("ij,...kjl->...kil", m, groups)
+    groups = jnp.einsum("ij,...klj->...kli", m, groups)
+    return groups
+
+
+def _group_dct(groups, mat, inverse=False):
+    """1D DCT across the group axis of (..., K, B, B, B)."""
+    m = mat.T if inverse else mat
+    return jnp.einsum("ij,...jabc->...iabc", m, groups)
+
+
+def _ref_grid(dim, block, step):
+    """Reference-block start coordinates covering [0, dim-block]."""
+    last = dim - block
+    starts = list(range(0, last + 1, step))
+    if starts[-1] != last:
+        starts.append(last)
+    return np.asarray(starts, np.int32)
+
+
+def _box_sum(x, size):
+    """Valid-mode box sum over a cube window via ``reduce_window``."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (size,) * 3, (1,) * 3, "VALID"
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block", "group", "step", "search", "mode"),
+)
+def bm4d_stage(noisy, guide, sigma, block=4, group=8, step=3, search=7,
+               mode="hard"):
+    """One BM4D pass over ``noisy``; groups are matched on ``guide``.
+
+    mode="hard": hard-threshold coefficients at 2.7σ (stage 1).
+    mode="wiener": empirical Wiener using ``guide`` as the signal
+    estimate (stage 2).
+    Returns the aggregated estimate (same shape, float32).
+
+    Block matching is fully vectorized for the TPU: for every window
+    offset, the per-reference block distance field is a shifted squared
+    difference box-summed by ``reduce_window`` (dense VPU work, no
+    per-reference gathers); ``top_k`` over the offset axis picks each
+    group, and group voxels come back through one large advanced-indexing
+    gather.
+    """
+    Z, Y, X = noisy.shape
+    B, K, W = block, group, search
+    half = W // 2
+    noisy = noisy.astype(jnp.float32)
+    guide = guide.astype(jnp.float32)
+
+    # Reflect-pad so every candidate block around any in-bounds reference
+    # start is valid in padded coordinates.
+    pad = half
+    npad = jnp.pad(noisy, pad, mode="reflect")
+    gpad = jnp.pad(guide, pad, mode="reflect")
+
+    zs, ys, xs = (_ref_grid(d, B, step) for d in (Z, Y, X))
+    grid = np.stack(
+        [g.ravel() for g in np.meshgrid(zs, ys, xs, indexing="ij")],
+        axis=-1,
+    )
+    refs = jnp.asarray(grid)  # (R, 3) starts in original coords
+    offs_np = np.stack(
+        [g.ravel() for g in np.meshgrid(*([np.arange(W) - half] * 3),
+                                        indexing="ij")],
+        axis=-1,
+    ).astype(np.int32)
+    offs = jnp.asarray(offs_np)  # (C, 3) window offsets
+
+    rz, ry, rx = refs[:, 0], refs[:, 1], refs[:, 2]
+
+    def dist_for_offset(off):
+        # Shifted copy of the guide: g(v + off) for all v in original
+        # coords; slicing the padded volume keeps everything in-bounds.
+        shifted = jax.lax.dynamic_slice(
+            gpad, (off[0] + pad, off[1] + pad, off[2] + pad),
+            (Z, Y, X),
+        )
+        d2_field = _box_sum((guide - shifted) ** 2, B)  # (Z-B+1, …)
+        return d2_field[rz, ry, rx]  # (R,)
+
+    # (C, R) distance table; scanned over offsets to bound memory.
+    d2 = jax.lax.map(dist_for_offset, offs, batch_size=16)
+    _, idx = jax.lax.top_k(-d2.T, K)  # (R, K) best offset indices
+
+    sel = refs[:, None, :] + offs[idx]  # (R, K, 3) starts, original coords
+    # Clamp near-border candidates into the volume (the classical
+    # algorithm restricts matching to in-bounds blocks).
+    sel = jnp.clip(
+        sel, 0, jnp.asarray([Z - B, Y - B, X - B], jnp.int32)
+    )
+
+    # Gather all group blocks with one advanced-indexing read.
+    bidx_np = np.stack(
+        np.meshgrid(*([np.arange(B)] * 3), indexing="ij"), axis=-1
+    )
+    bidx = jnp.asarray(bidx_np)  # (B, B, B, 3)
+    coords = sel[:, :, None, None, None, :] + bidx[None, None] + pad
+    cz, cy, cx = coords[..., 0], coords[..., 1], coords[..., 2]
+    ngroups = npad[cz, cy, cx]  # (R, K, B, B, B)
+    ggroups = gpad[cz, cy, cx]
+    starts = sel
+
+    mb = _dct_matrix(B)
+    mk = _dct_matrix(K)
+    coef_n = _group_dct(_block_dct3(ngroups, mb), mk)
+
+    if mode == "hard":
+        thr = 2.7 * sigma
+        keep = jnp.abs(coef_n) > thr
+        coef = jnp.where(keep, coef_n, 0.0)
+        nretained = jnp.sum(keep, axis=(1, 2, 3, 4)).astype(jnp.float32)
+        wgt = 1.0 / (1.0 + nretained)  # (R,)
+    else:
+        coef_g = _group_dct(_block_dct3(ggroups, mb), mk)
+        shrink = coef_g**2 / (coef_g**2 + sigma**2 + 1e-12)
+        coef = coef_n * shrink
+        wgt = 1.0 / (1e-8 + jnp.sum(shrink**2, axis=(1, 2, 3, 4)))
+
+    filt = _block_dct3(
+        _group_dct(coef, mk, inverse=True), mb, inverse=True
+    )  # (R, K, B, B, B)
+
+    # Overlap-add aggregation with per-group weights.
+    accum = jnp.zeros_like(noisy)
+    weight = jnp.zeros_like(noisy)
+    bidx = np.stack(
+        [g for g in np.meshgrid(*([np.arange(B)] * 3), indexing="ij")],
+        axis=-1,
+    )
+    bidx = jnp.asarray(bidx)  # (B, B, B, 3)
+    # Absolute voxel coords per filtered block: (R, K, B, B, B, 3)
+    coords = starts[:, :, None, None, None, :] + bidx[None, None]
+    cz, cy, cx = coords[..., 0], coords[..., 1], coords[..., 2]
+    w = wgt[:, None, None, None, None]
+    accum = accum.at[cz, cy, cx].add(filt * w)
+    weight = weight.at[cz, cy, cx].add(
+        jnp.broadcast_to(w, filt.shape)
+    )
+    return accum / (weight + 1e-12)
+
+
+def bm4d(vol, sigma, block=4, group=8, step=3, search=7, two_stage=True):
+    """Denoise a 3D volume with BM4D (drop-in for the reference's
+    ``bm4d.bm4d(raw, sigma)`` call sites).
+
+    ``sigma`` is the noise standard deviation in the volume's intensity
+    units. Returns float32; caller rounds/clips to counts as needed.
+    """
+    vol = jnp.asarray(vol, jnp.float32)
+    if vol.ndim != 3:
+        raise ValueError(f"expected 3D volume, got {vol.shape}")
+    sigma = jnp.float32(sigma)
+    basic = bm4d_stage(
+        vol, vol, sigma, block=block, group=group, step=step,
+        search=search, mode="hard",
+    )
+    if not two_stage:
+        return basic
+    return bm4d_stage(
+        vol, basic, sigma, block=block, group=group, step=step,
+        search=search, mode="wiener",
+    )

@@ -1,0 +1,16 @@
+"""Multi-chip parallelism: meshes, data-parallel training, spatial
+sharding with ICI halo exchange."""
+
+from exaspim_tpu.parallel.data_parallel import make_dp_train_step, shard_batch
+from exaspim_tpu.parallel.mesh import make_mesh, replicated, sharded_along
+from exaspim_tpu.parallel.spatial import plan_shards, predict_sharded
+
+__all__ = [
+    "make_dp_train_step",
+    "make_mesh",
+    "plan_shards",
+    "predict_sharded",
+    "replicated",
+    "shard_batch",
+    "sharded_along",
+]

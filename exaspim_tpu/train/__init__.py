@@ -1,0 +1,31 @@
+"""Training layer: jitted steps, checkpoints, trainer orchestration."""
+
+from exaspim_tpu.train.checkpoint import (
+    checkpoint_filename,
+    find_best_checkpoint,
+    load_checkpoint,
+    restore_pipeline,
+    save_checkpoint,
+)
+from exaspim_tpu.train.state import (
+    TrainState,
+    cosine_schedule,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from exaspim_tpu.train.trainer import Trainer
+
+__all__ = [
+    "TrainState",
+    "Trainer",
+    "checkpoint_filename",
+    "cosine_schedule",
+    "create_train_state",
+    "find_best_checkpoint",
+    "load_checkpoint",
+    "make_eval_step",
+    "make_train_step",
+    "restore_pipeline",
+    "save_checkpoint",
+]

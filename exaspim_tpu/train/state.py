@@ -1,0 +1,95 @@
+"""Train state and jitted train/eval steps.
+
+The reference's training loop couples AdamW + cosine annealing + AMP
+GradScaler + manual backward (reference train.py:110-233). The TPU-native
+equivalent is a single jitted pure function per step:
+
+* **optax AdamW** with a cosine-decay schedule over total steps,
+* **bf16 compute** inside the model (``dtype=jnp.bfloat16``) with f32
+  params and f32 loss — no GradScaler, bf16 has the exponent range of f32,
+* gradients averaged across the batch by the loss mean; under a device
+  mesh the same step runs data-parallel by sharding the batch axis
+  (see :mod:`exaspim_tpu.parallel`) — XLA inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from exaspim_tpu.losses import signal_preserving_loss
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "make_eval_step",
+    "cosine_schedule",
+]
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState; params f32, opt-state f32."""
+
+
+def cosine_schedule(lr, total_steps, warmup_steps=0):
+    """Cosine annealing to 0 over ``total_steps`` (reference train.py:155),
+    with optional linear warmup (a TPU-friendly addition; 0 disables)."""
+    if warmup_steps:
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr, warmup_steps=warmup_steps,
+            decay_steps=total_steps,
+        )
+    return optax.cosine_decay_schedule(lr, decay_steps=total_steps)
+
+
+def create_train_state(model, patch_shape=(64, 64, 64), lr=1e-3,
+                       total_steps=10_000, weight_decay=1e-2, seed=0,
+                       warmup_steps=0, params=None):
+    """Initialize params (unless given) and the AdamW optimizer state."""
+    if params is None:
+        x = jnp.zeros((1, *patch_shape, 1), jnp.float32)
+        params = jax.jit(model.init)(jax.random.key(seed), x)["params"]
+    tx = optax.adamw(
+        cosine_schedule(lr, total_steps, warmup_steps),
+        weight_decay=weight_decay,
+    )
+    return TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx
+    )
+
+
+def make_train_step(fg_weight=20.0, eps=1e-3, donate=True):
+    """Build the jitted training step ``(state, x, y, fg) -> (state, loss)``.
+
+    ``x``/``y`` are transform-domain ``(B, D, H, W, 1)`` float32; ``fg`` a
+    boolean mask of the same shape. The state is donated so optimizer
+    update happens in place in HBM.
+    """
+
+    def step(state, x, y, fg):
+        def loss_fn(params):
+            pred = state.apply_fn({"params": params}, x)
+            return signal_preserving_loss(
+                pred, y, fg, fg_weight=fg_weight, eps=eps
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(fg_weight=20.0, eps=1e-3):
+    """Build the jitted eval step ``(state, x, y, fg) -> (loss, pred)``."""
+
+    def step(state, x, y, fg):
+        pred = state.apply_fn({"params": state.params}, x)
+        loss = signal_preserving_loss(
+            pred, y, fg, fg_weight=fg_weight, eps=eps
+        )
+        return loss, pred
+
+    return jax.jit(step)

@@ -1,0 +1,78 @@
+"""BM4D denoiser tests: quality gates on synthetic phantoms.
+
+The TPU equivalent of trusting the vendored C++ bm4d binary: golden
+quality assertions on procedurally generated volumes (the reference's
+phantom testing philosophy, reference tests/test_metrics.py) — BM4D must
+beat both the identity and a Gaussian-smoothing baseline, preserve
+structure, and behave sanely at sigma→0.
+"""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from exaspim_tpu.ops.bm4d import bm4d, bm4d_stage
+from tests.phantoms import tube_phantom
+
+
+def _rmse(a, b):
+    return float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))
+
+
+@pytest.fixture(scope="module")
+def phantom():
+    clean = tube_phantom((32, 32, 32), noise=0.0)
+    noisy = tube_phantom((32, 32, 32), noise=30.0)
+    return clean.astype(np.float32), noisy.astype(np.float32)
+
+
+def test_bm4d_beats_noise_and_gaussian(phantom):
+    clean, noisy = phantom
+    den = np.asarray(bm4d(noisy, 30.0))
+    e_noisy = _rmse(noisy, clean)
+    e_gauss = _rmse(ndimage.gaussian_filter(noisy, 1.0), clean)
+    e_bm4d = _rmse(den, clean)
+    assert e_bm4d < e_noisy / 3
+    assert e_bm4d < e_gauss
+
+
+def test_two_stage_improves_on_stage_one(phantom):
+    clean, noisy = phantom
+    basic = np.asarray(bm4d(noisy, 30.0, two_stage=False))
+    final = np.asarray(bm4d(noisy, 30.0, two_stage=True))
+    assert _rmse(final, clean) <= _rmse(basic, clean) * 1.05
+
+
+def test_structure_preserved(phantom):
+    clean, noisy = phantom
+    den = np.asarray(bm4d(noisy, 30.0))
+    # The bright tube's mean intensity must survive denoising.
+    tube = clean > clean.mean() + 2 * clean.std()
+    assert abs(den[tube].mean() - clean[tube].mean()) < 0.15 * clean[
+        tube
+    ].mean()
+
+
+def test_small_sigma_near_identity():
+    rng = np.random.default_rng(0)
+    vol = rng.normal(500.0, 5.0, (16, 16, 16)).astype(np.float32)
+    den = np.asarray(bm4d(vol, 1e-3))
+    # With a vanishing threshold nearly all coefficients are retained.
+    assert _rmse(den, vol) < 2.0
+
+
+def test_constant_volume_fixed_point():
+    vol = np.full((16, 16, 16), 123.0, np.float32)
+    den = np.asarray(bm4d(vol, 10.0))
+    # Wiener shrinkage biases the DC coefficient by ~sigma²/coef² — a
+    # relative error of order 1e-5 on a constant volume.
+    np.testing.assert_allclose(den, vol, atol=0.01)
+
+
+def test_output_shape_and_dtype(phantom):
+    _, noisy = phantom
+    den = bm4d_stage(noisy, noisy, 30.0, mode="hard")
+    assert den.shape == noisy.shape
+    assert den.dtype == np.float32
+    with pytest.raises(ValueError):
+        bm4d(np.zeros((4, 4)), 1.0)

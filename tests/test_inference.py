@@ -1,0 +1,123 @@
+"""Tiled-inference tests: grid math, stitching, trim, odd shapes.
+
+The reference has no dedicated inference tests; these cover the
+equivalent surface (reference inference.py:28-252) plus the TPU
+framework's full-coverage guarantee (boundary-aware trim — a reference
+defect fix, see inference.py module docstring).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exaspim_tpu.inference import (
+    build_volume_transform,
+    count_patches,
+    generate_patch_starts,
+    predict,
+    predict_patch,
+)
+from exaspim_tpu.models import UNet
+from exaspim_tpu.transforms import build_transform
+
+TCFG = {"kind": "linear", "params": {"mn": 0.0, "mx": 1000.0, "clip": 8.0}}
+
+
+class DoublePlusOne:
+    """Minimal stand-in model: local, shape-preserving, known output."""
+
+    def apply(self, variables, x):
+        return x * 2.0 + 0.01
+
+
+@pytest.fixture(scope="module")
+def small_unet():
+    m = UNet(width_multiplier=0.25)
+    params = m.init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1))
+    )["params"]
+    return m, params
+
+
+def test_patch_grid_matches_reference_semantics():
+    # stride = patch − overlap; ranges go to dim − patch + stride
+    starts = generate_patch_starts((128, 128, 128), 64, 12)
+    per_axis = sorted({s[0] for s in starts})
+    assert per_axis == [0, 52, 104]
+    assert len(starts) == 27
+    assert count_patches((128, 128, 128), 64, 12) == 27
+
+
+def test_predict_known_function_full_coverage():
+    t = build_transform(TCFG)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 900, (40, 36, 33)).astype(np.uint16)
+    out = predict(
+        img, DoublePlusOne(), {}, t, patch_size=16, overlap=4, trim=2,
+        batch_size=4, return_float=True,
+    )
+    # Every voxel — including the leading trim faces — must equal the
+    # analytic result: inverse(2*forward(x)+0.01).
+    expect = t.inverse_float(2.0 * t.forward(img.astype(np.float32)) + 0.01)
+    np.testing.assert_allclose(out, expect, atol=0.01)
+
+
+def test_predict_uint16_output(small_unet):
+    m, params = small_unet
+    t = build_transform(TCFG)
+    img = np.random.default_rng(1).integers(
+        0, 900, (20, 18, 17)
+    ).astype(np.uint16)
+    out = predict(
+        img, m, params, t, patch_size=16, overlap=4, trim=2, batch_size=4
+    )
+    assert out.shape == img.shape and out.dtype == np.uint16
+
+
+def test_predict_5d_input_and_small_volume_error(small_unet):
+    m, params = small_unet
+    t = build_transform(TCFG)
+    img = np.zeros((1, 1, 20, 20, 20), np.uint16)
+    out = predict(
+        img, m, params, t, patch_size=16, overlap=4, trim=2, batch_size=4
+    )
+    assert out.shape == (20, 20, 20)
+    with pytest.raises(ValueError, match="smaller than patch"):
+        predict(np.zeros((8, 8, 8), np.uint16), m, params, t,
+                patch_size=16)
+
+
+def test_streaming_matches_in_memory():
+    t = build_transform(TCFG)
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 900, (64, 24, 20)).astype(np.uint16)
+    full = predict(
+        img, DoublePlusOne(), {}, t, patch_size=16, overlap=4, trim=2,
+        batch_size=4, return_float=True,
+    )
+    streamed = predict(
+        img, DoublePlusOne(), {}, t, patch_size=16, overlap=4, trim=2,
+        batch_size=4, return_float=True, max_device_voxels=64 * 24 * 20 // 3,
+    )
+    np.testing.assert_allclose(streamed, full, atol=1e-4)
+
+
+def test_predict_patch(small_unet):
+    m, params = small_unet
+    t = build_transform(TCFG)
+    patch = np.full((16, 16, 16), 400, np.uint16)
+    out = predict_patch(patch, m, params, t)
+    assert out.shape == patch.shape and out.dtype == np.uint16
+
+
+def test_build_volume_transform_prefers_offset():
+    t = build_transform(TCFG)
+    vt = build_volume_transform(t, offset=37.0)
+    # linear kind folds the offset into the bounds
+    assert vt.mn == 37.0 and vt.mx == 1037.0
+    with pytest.raises(ValueError):
+        build_volume_transform(t)
+    img = np.full((8, 8, 8), 50, np.uint16)
+    vt2 = build_volume_transform(t, img=img)
+    assert vt2.mn == 50.0

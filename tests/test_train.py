@@ -1,0 +1,169 @@
+"""Training-layer tests: jitted steps, checkpoints, Trainer end-to-end.
+
+Mirrors the reference's trainer/checkpoint assertions (reference
+tests/test_full_cache_training.py, test_train_bm4dnet.py:172-201) on the
+TPU framework: loss decreases on a learnable toy problem, checkpoints
+round-trip {params, model_config, transform}, resume rejects transform
+and model-config mismatches, score-ranked filenames parse.
+"""
+
+import glob
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exaspim_tpu.data import make_synthetic_cache
+from exaspim_tpu.data.cache import CachedPatchDataset, CachedValidateDataset
+from exaspim_tpu.models import UNet
+from exaspim_tpu.train import (
+    Trainer,
+    checkpoint_filename,
+    create_train_state,
+    find_best_checkpoint,
+    load_checkpoint,
+    make_eval_step,
+    make_train_step,
+    restore_pipeline,
+    save_checkpoint,
+)
+from exaspim_tpu.transforms import build_transform
+
+TCFG = {"kind": "asinh", "params": {"offset": 100.0, "scale": 50.0}}
+SMALL = dict(width_multiplier=0.25)
+
+
+def test_train_step_reduces_loss():
+    model = UNet(**SMALL)
+    state = create_train_state(
+        model, patch_shape=(8, 8, 8), lr=3e-3, total_steps=30
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0.5, 0.1, (4, 8, 8, 8, 1)), jnp.float32)
+    y = x * 0.5
+    fg = jnp.zeros(x.shape, bool)
+    step = make_train_step(fg_weight=0.0, donate=False)
+    _, loss0 = step(state, x, y, fg)
+    for _ in range(30):
+        state, loss = step(state, x, y, fg)
+    assert float(loss) < float(loss0)
+
+
+def test_eval_step_returns_prediction():
+    model = UNet(**SMALL)
+    state = create_train_state(model, patch_shape=(8, 8, 8))
+    x = jnp.full((2, 8, 8, 8, 1), 0.3)
+    loss, pred = make_eval_step()(state, x, x, jnp.zeros(x.shape, bool))
+    assert pred.shape == x.shape
+    assert np.isfinite(float(loss))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = UNet(**SMALL)
+    state = create_train_state(model, patch_shape=(8, 8, 8))
+    t = build_transform(TCFG)
+    path = os.path.join(tmp_path, checkpoint_filename(7, -1.25))
+    save_checkpoint(
+        path, state.params, model.config, t.cfg, step=7, score=-1.25
+    )
+    ckpt = load_checkpoint(path)
+    assert ckpt["model_config"] == model.config
+    assert ckpt["transform"] == t.cfg
+    assert ckpt["step"] == 7 and ckpt["score"] == -1.25
+
+    model2, params2, t2 = restore_pipeline(path, dtype=jnp.float32)
+    x = jnp.full((1, 8, 8, 8, 1), 0.4)
+    y1 = model.apply({"params": state.params}, x)
+    y2 = model2.apply({"params": params2}, x)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y2), atol=1e-6
+    )
+    assert t2.cfg == t.cfg
+
+
+def test_find_best_checkpoint_negative_aware(tmp_path):
+    for step, score in [(1, 2.5), (2, -19.965923), (3, 0.0)]:
+        open(os.path.join(
+            tmp_path, checkpoint_filename(step, score, date="20260816")
+        ), "w").close()
+    best = find_best_checkpoint(tmp_path)
+    assert "-19.965923" in best
+    with pytest.raises(FileNotFoundError):
+        find_best_checkpoint(os.path.join(tmp_path, "empty"))
+
+
+@pytest.fixture(scope="module")
+def tiny_caches(tmp_path_factory):
+    root = tmp_path_factory.mktemp("caches")
+    train_dir = make_synthetic_cache(
+        os.path.join(root, "train"), 8, (16, 16, 16), TCFG, seed=1
+    )
+    val_dir = make_synthetic_cache(
+        os.path.join(root, "val"), 4, (16, 16, 16), TCFG, seed=2
+    )
+    return train_dir, val_dir
+
+
+def test_trainer_end_to_end(tmp_path, tiny_caches):
+    train_dir, val_dir = tiny_caches
+    train_ds = CachedPatchDataset(train_dir)
+    val_ds = CachedValidateDataset(val_dir)
+    t = build_transform(TCFG)
+    trainer = Trainer(
+        tmp_path, UNet(**SMALL), t, lr=1e-3, epochs=2, batch_size=4,
+        val_every=2, seed=42, tensorboard=False, keep_mips=2,
+    )
+    trainer.run(train_ds, val_ds)
+
+    # config.json records the run.
+    cfg_path = os.path.join(trainer.session_dir, "config.json")
+    assert os.path.exists(cfg_path)
+    import json
+
+    cfg = json.load(open(cfg_path))
+    assert cfg["transform"] == t.cfg
+    assert cfg["seed"] == 42
+    assert cfg["model_config"]["model"] == "UNet"
+
+    # Scored checkpoints exist and parse.
+    ckpts = glob.glob(os.path.join(trainer.ckpt_dir, "*.ckpt"))
+    assert ckpts
+    best = find_best_checkpoint(trainer.ckpt_dir)
+    ckpt = load_checkpoint(best)
+    assert "val_cratio" in ckpt["extra"]["metrics"]
+    # MIPs went to the session dir, not CWD.
+    assert glob.glob(os.path.join(trainer.mip_dir, "*.png"))
+
+
+def test_trainer_rejects_transform_mismatch(tmp_path, tiny_caches):
+    train_dir, _ = tiny_caches
+    model = UNet(**SMALL)
+    state = create_train_state(model, patch_shape=(16, 16, 16))
+    t = build_transform(TCFG)
+    path = os.path.join(tmp_path, checkpoint_filename(1, 0.0))
+    save_checkpoint(path, state.params, model.config, t.cfg)
+
+    other = build_transform(
+        {"kind": "asinh", "params": {"offset": 0.0, "scale": 10.0}}
+    )
+    trainer = Trainer(
+        tmp_path, model, other, epochs=1, tensorboard=False
+    )
+    trainer.load_pretrained_weights(path)
+    with pytest.raises(ValueError, match="transform"):
+        trainer.check_transform_cfg()
+
+
+def test_trainer_rejects_model_config_mismatch(tmp_path):
+    model = UNet(**SMALL)
+    state = create_train_state(model, patch_shape=(8, 8, 8))
+    t = build_transform(TCFG)
+    path = os.path.join(tmp_path, checkpoint_filename(1, 0.0))
+    save_checkpoint(path, state.params, model.config, t.cfg)
+
+    bigger = Trainer(
+        tmp_path, UNet(width_multiplier=0.5), t, tensorboard=False
+    )
+    with pytest.raises(ValueError, match="model_config"):
+        bigger.load_pretrained_weights(path)
