@@ -1,0 +1,395 @@
+"""Live sampling datasets over (cloud-hosted) brain volumes.
+
+Capability parity with the reference's TrainDataset / ValidateDataset /
+init_datasets (reference data_handling.py:88-1014, 1387-1505): stochastic
+foreground-biased patch draws from lazily-read whole-brain volumes,
+BM4D teacher generation, annotation masks from segmentations ∪ SWC
+skeletons (robust-intensity fallback), the coherence artifact gate with a
+bounded resample loop, per-brain background offsets, and a fixed
+validation pool.
+
+TPU-native differences: the BM4D teacher runs as the framework's own
+XLA implementation (:mod:`exaspim_tpu.ops.bm4d`) instead of a C++
+binary; volumes open through tensorstore (any of Zarr/N5/neuroglancer);
+determinism comes from ``numpy.random.SeedSequence`` streams exactly as
+in the reference (reference scripts/precompute.py:73-89).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from exaspim_tpu.ops.metrics import (
+    make_foreground_mask,
+    make_segmentation_mask,
+    make_skeleton_mask,
+    patch_has_incoherent_segment,
+)
+from exaspim_tpu.utils import img_io
+from exaspim_tpu.utils.swc import Reader as SwcReader, to_voxels
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["TrainDataset", "ValidateDataset", "init_datasets"]
+
+
+def _teacher(raw, sigma):
+    """BM4D teacher in count space (reference data_handling.py:332)."""
+    from exaspim_tpu.ops.bm4d import bm4d
+
+    den = np.asarray(bm4d(np.asarray(raw, np.float32), float(sigma)))
+    return np.clip(np.round(den), 0, 65535).astype(np.uint16)
+
+
+class _Brain:
+    """Lazy per-brain state: image, optional segmentation, SWC voxels."""
+
+    def __init__(self, brain_id, img, segmentation=None, swc_voxels=None,
+                 offset=0):
+        self.brain_id = brain_id
+        self.img = img
+        self.segmentation = segmentation
+        self.swc_voxels = swc_voxels  # (N, 3) voxel coords or None
+        self.offset = int(offset)
+
+    @property
+    def shape(self):
+        return tuple(self.img.shape[-3:])
+
+
+class TrainDataset:
+    """Stochastic foreground-biased patch sampler with BM4D teachers.
+
+    ``__getitem__`` ignores its index and draws a fresh example
+    (reference data_handling.py:291-313); determinism comes from the
+    dataset's seeded generator — reseed via :meth:`reseed` for
+    reproducible worker streams.
+    """
+
+    fields = ("raw", "teacher", "fg")
+
+    def __init__(self, patch_shape=(64, 64, 64), sigma_bm4d=16.0,
+                 foreground_rate=0.8, boundary_buffer=5000,
+                 skeleton_dilate=2, segmentation_dilate=0,
+                 min_segmentation_volume=200, bright_k=6.0,
+                 max_resample_attempts=4, check_incoherence=True,
+                 preserve_foreground=False, seed=42,
+                 anisotropy=(0.748, 0.748, 1.0)):
+        self.patch_shape = tuple(patch_shape)
+        self.sigma_bm4d = float(sigma_bm4d)
+        self.foreground_rate = float(foreground_rate)
+        self.boundary_buffer = int(boundary_buffer)
+        self.skeleton_dilate = int(skeleton_dilate)
+        self.segmentation_dilate = int(segmentation_dilate)
+        self.min_segmentation_volume = int(min_segmentation_volume)
+        self.bright_k = float(bright_k)
+        self.max_resample_attempts = int(max_resample_attempts)
+        self.check_incoherence = bool(check_incoherence)
+        self.preserve_foreground = bool(preserve_foreground)
+        self.anisotropy = tuple(anisotropy)
+        self.brains = {}
+        self.reseed(seed)
+
+    def reseed(self, seed):
+        """Deterministic stream: accepts an int or a SeedSequence."""
+        if not isinstance(seed, np.random.SeedSequence):
+            seed = np.random.SeedSequence(seed)
+        self.rng = np.random.default_rng(seed)
+
+    # ------------------------------------------------------------ ingest
+
+    def ingest_brain(self, brain_id, img, segmentation=None,
+                     swc_source=None, offset=0):
+        """Register a brain: image (path or opened volume), optional
+        segmentation volume, optional SWC source
+        (reference data_handling.py:156-289)."""
+        if isinstance(img, str):
+            img = img_io.read(img)
+        if isinstance(segmentation, str):
+            segmentation = img_io.read(segmentation)
+        swc_voxels = None
+        if swc_source is not None:
+            swc_voxels = self._load_swc_voxels(swc_source)
+        self.brains[str(brain_id)] = _Brain(
+            str(brain_id), img, segmentation, swc_voxels, offset
+        )
+
+    def _load_swc_voxels(self, source):
+        reader = SwcReader(anisotropy=self.anisotropy)
+        traces = reader.read(source) if not isinstance(
+            source, dict
+        ) else source
+        pts = []
+        for name, d in traces.items():
+            voxels = to_voxels(d["xyz"], self.anisotropy)
+            if len(voxels) > 1:
+                # Sparse tracing warning: consecutive nodes further apart
+                # than a patch edge leave mask gaps
+                # (reference data_handling.py:251-285).
+                cheb = np.max(
+                    np.abs(np.diff(voxels, axis=0)), axis=1
+                )
+                if cheb.max() > max(self.patch_shape):
+                    logger.warning(
+                        "SWC %s has edges up to %d voxels; skeleton "
+                        "masks will have gaps", name, int(cheb.max()),
+                    )
+            pts.append(voxels)
+        if not pts:
+            return None
+        return np.concatenate(pts, axis=0)
+
+    # ----------------------------------------------------------- access
+
+    def __len__(self):
+        return 2**31 - 1  # stochastic stream
+
+    def __getitem__(self, index):
+        raw, teacher, fg, _, _ = self.sample_example()
+        return raw, teacher, fg
+
+    def sample_example(self):
+        """One training example: (raw, teacher, fg, brain_id, voxel)."""
+        brain_id, voxel, raw = self.sample_clean()
+        teacher = _teacher(raw, self.sigma_bm4d)
+        fg = self.annotation_mask(brain_id, voxel, raw)
+        return raw, teacher, fg, brain_id, voxel
+
+    # ---------------------------------------------------------- sampling
+
+    def sample_brain(self):
+        if not self.brains:
+            raise RuntimeError("no brains ingested")
+        ids = sorted(self.brains)
+        return ids[int(self.rng.integers(len(ids)))]
+
+    def sample_voxel(self, brain_id):
+        """Foreground-rate coin flip between biased and uniform draws
+        (reference data_handling.py:518-537)."""
+        if self.rng.random() < self.foreground_rate:
+            v = self.sample_foreground_voxel(brain_id)
+            if v is not None:
+                return v
+        return self.sample_interior_voxel(brain_id)
+
+    def sample_foreground_voxel(self, brain_id):
+        """Prefer skeleton, then segmentation, then bright draws
+        (reference data_handling.py:538-558)."""
+        brain = self.brains[brain_id]
+        choices = []
+        if brain.swc_voxels is not None and len(brain.swc_voxels):
+            choices.append(self.sample_skeleton_voxel)
+        if brain.segmentation is not None:
+            choices.append(self.sample_segmentation_voxel)
+        choices.append(self.sample_bright_voxel)
+        fn = choices[int(self.rng.integers(len(choices)))]
+        return fn(brain_id)
+
+    def sample_interior_voxel(self, brain_id):
+        """Uniform draw away from volume boundaries
+        (reference data_handling.py:559-580)."""
+        shape = self.brains[brain_id].shape
+        lo = [
+            min(self.boundary_buffer, max((d - p) // 4, 0)) + p // 2
+            for d, p in zip(shape, self.patch_shape)
+        ]
+        hi = [
+            d - l for d, l in zip(shape, lo)
+        ]
+        return tuple(
+            int(self.rng.integers(l, max(h, l + 1)))
+            for l, h in zip(lo, hi)
+        )
+
+    def sample_skeleton_voxel(self, brain_id):
+        """Traced node + jitter ≤ patch/4 (reference
+        data_handling.py:581-599)."""
+        brain = self.brains[brain_id]
+        pts = brain.swc_voxels
+        node = pts[int(self.rng.integers(len(pts)))]
+        jitter = self.rng.integers(
+            [-p // 4 for p in self.patch_shape],
+            [p // 4 + 1 for p in self.patch_shape],
+        )
+        v = node + jitter
+        return self._clamp_center(brain_id, v)
+
+    def sample_segmentation_voxel(self, brain_id, attempts=16):
+        """Candidate centers with enough labeled volume
+        (reference data_handling.py:600-652)."""
+        brain = self.brains[brain_id]
+        for _ in range(attempts):
+            v = self.sample_interior_voxel(brain_id)
+            patch = self._read_volume_patch(
+                brain.segmentation, v, self.patch_shape
+            )
+            if patch is None:
+                continue
+            if int((patch > 0).sum()) >= self.min_segmentation_volume:
+                return v
+        return None
+
+    def sample_bright_voxel(self, brain_id, attempts=16):
+        """Candidate centers with robust-bright occupancy
+        (reference data_handling.py:653-715)."""
+        for _ in range(attempts):
+            v = self.sample_interior_voxel(brain_id)
+            raw = self.read_counts(brain_id, v)
+            if raw is None:
+                continue
+            mask = make_foreground_mask(raw, k=self.bright_k, dilate=0)
+            if mask.mean() > 0.001:
+                return v
+        return None
+
+    def _clamp_center(self, brain_id, voxel):
+        shape = self.brains[brain_id].shape
+        return tuple(
+            int(np.clip(v, p // 2, d - (p - p // 2)))
+            for v, p, d in zip(voxel, self.patch_shape, shape)
+        )
+
+    # ------------------------------------------------------------- reads
+
+    def _read_volume_patch(self, vol, center, shape):
+        try:
+            return img_io.get_patch(vol, center, shape)
+        except ValueError:
+            return None
+
+    def read_counts(self, brain_id, voxel):
+        """Patch read with per-brain offset subtraction
+        (reference data_handling.py:337-355)."""
+        brain = self.brains[brain_id]
+        patch = self._read_volume_patch(brain.img, voxel, self.patch_shape)
+        if patch is None:
+            return None
+        counts = np.asarray(patch, np.int64) - brain.offset
+        return np.clip(counts, 0, 65535).astype(np.uint16)
+
+    def sample_clean(self):
+        """Draw patches until the coherence gate passes (bounded
+        attempts; degrades to the last draw — reference
+        data_handling.py:356-409)."""
+        last = None
+        for _ in range(max(1, self.max_resample_attempts)):
+            brain_id = self.sample_brain()
+            voxel = self._clamp_center(
+                brain_id, self.sample_voxel(brain_id)
+            )
+            raw = self.read_counts(brain_id, voxel)
+            if raw is None:
+                continue
+            last = (brain_id, voxel, raw)
+            if not self.check_incoherence:
+                return last
+            seg = self._segmentation_patch(brain_id, voxel)
+            if seg is None or not patch_has_incoherent_segment(seg, raw):
+                return last
+        if last is None:
+            raise RuntimeError("could not draw a valid patch")
+        return last
+
+    def _segmentation_patch(self, brain_id, voxel):
+        brain = self.brains[brain_id]
+        if brain.segmentation is None:
+            return None
+        return self._read_volume_patch(
+            brain.segmentation, voxel, self.patch_shape
+        )
+
+    # -------------------------------------------------------------- masks
+
+    def annotation_mask(self, brain_id, voxel, raw):
+        """Segmentation ∪ skeleton; robust-intensity fallback
+        (reference data_handling.py:411-506)."""
+        mask = np.zeros(self.patch_shape, dtype=bool)
+        used_annotation = False
+        seg = self._segmentation_patch(brain_id, voxel)
+        if seg is not None:
+            mask |= make_segmentation_mask(
+                seg, dilate=self.segmentation_dilate
+            )
+            used_annotation = True
+        sk = self.skeleton_mask(brain_id, voxel)
+        if sk is not None:
+            mask |= sk
+            used_annotation = True
+        if not used_annotation:
+            mask = make_foreground_mask(raw, k=self.bright_k)
+        return mask
+
+    def skeleton_mask(self, brain_id, voxel):
+        brain = self.brains[brain_id]
+        if brain.swc_voxels is None or not len(brain.swc_voxels):
+            return None
+        start = [
+            v - p // 2 for v, p in zip(voxel, self.patch_shape)
+        ]
+        return make_skeleton_mask(
+            brain.swc_voxels, start, self.patch_shape,
+            dilate=self.skeleton_dilate,
+        )
+
+
+class ValidateDataset:
+    """Fixed validation pool drawn once at init
+    (reference data_handling.py:798-1014)."""
+
+    fields = ("raw", "teacher", "raw_counts", "fg")
+
+    def __init__(self, train_dataset, n_examples=8, seed=1234):
+        self.patch_shape = train_dataset.patch_shape
+        self.examples = []
+        rng_backup = train_dataset.rng
+        train_dataset.reseed(np.random.SeedSequence([seed, 0x7A1]))
+        try:
+            for _ in range(n_examples):
+                raw, teacher, fg, brain_id, voxel = (
+                    train_dataset.sample_example()
+                )
+                self.examples.append((raw, teacher, fg, brain_id, voxel))
+        finally:
+            train_dataset.rng = rng_backup
+
+    def __len__(self):
+        return len(self.examples)
+
+    def __getitem__(self, index):
+        raw, teacher, fg, _, _ = self.examples[index]
+        return raw, teacher, raw, fg
+
+
+def init_datasets(brains, patch_shape=(64, 64, 64), transform_cfg=None,
+                  calibrate=False, n_val_examples=8, seed=42,
+                  **dataset_kwargs):
+    """Build (train, validate, transform) from a brain spec list.
+
+    ``brains``: list of dicts with keys ``brain_id``, ``img`` (path or
+    volume), optional ``segmentation``, ``swc``, ``offset`` — the
+    framework's own prefix-map format replacing the reference's private
+    ``aind_exaspim_dataset_utils`` dependency (reference
+    data_handling.py:1387-1505).
+    """
+    from exaspim_tpu.transforms import build_transform, calibrate_transform
+
+    train = TrainDataset(
+        patch_shape=patch_shape, seed=seed, **dataset_kwargs
+    )
+    for spec in brains:
+        train.ingest_brain(
+            spec["brain_id"], spec["img"],
+            segmentation=spec.get("segmentation"),
+            swc_source=spec.get("swc"),
+            offset=spec.get("offset", 0),
+        )
+    transform = None
+    if transform_cfg is not None:
+        if calibrate:
+            _, _, raw = train.sample_clean()
+            transform_cfg = calibrate_transform(transform_cfg, raw)
+        transform = build_transform(transform_cfg)
+    val = ValidateDataset(train, n_examples=n_val_examples, seed=seed)
+    return train, val, transform

@@ -114,6 +114,10 @@ def tiled_accumulate(apply_fn, params, vol, starts, global_starts,
         global_starts.reshape(n_batches, batch, 3),
     )
 
+    bidx = jnp.asarray(np.stack(
+        np.meshgrid(*([np.arange(P)] * 3), indexing="ij"), axis=-1
+    ))  # (P, P, P, 3)
+
     def body(carry, batch_pair):
         accum, wgt = carry
         batch_starts, batch_global = batch_pair
@@ -126,16 +130,14 @@ def tiled_accumulate(apply_fn, params, vol, starts, global_starts,
         )(batch_global)
         pred = pred.astype(jnp.float32) * masks
 
-        def scatter(j, carry):
-            accum, wgt = carry
-            s = batch_starts[j]
-            cur_a = jax.lax.dynamic_slice(accum, s, (P, P, P))
-            cur_w = jax.lax.dynamic_slice(wgt, s, (P, P, P))
-            accum = jax.lax.dynamic_update_slice(accum, cur_a + pred[j], s)
-            wgt = jax.lax.dynamic_update_slice(wgt, cur_w + masks[j], s)
-            return accum, wgt
-
-        return jax.lax.fori_loop(0, batch, scatter, (accum, wgt)), None
+        # One batched scatter-add covers the whole patch batch
+        # (duplicate-padded starts add pred and weight alike, leaving
+        # the final average unchanged).
+        coords = batch_starts[:, None, None, None, :] + bidx[None]
+        cz, cy, cx = coords[..., 0], coords[..., 1], coords[..., 2]
+        accum = accum.at[cz, cy, cx].add(pred)
+        wgt = wgt.at[cz, cy, cx].add(masks)
+        return (accum, wgt), None
 
     (accum, wgt), _ = jax.lax.scan(body, (accum, wgt), pairs)
     return accum, wgt

@@ -1,0 +1,141 @@
+"""Build the precomputed patch cache (offline, CPU/TPU-bound phase).
+
+Capability parity with the reference cache builder (reference
+scripts/precompute.py): writes ``raw.npy`` / ``teacher.npy`` / ``fg.npy``
+memmaps plus ``transform.json`` and a full-provenance ``config.json``,
+with per-task deterministic seeding (``SeedSequence [seed, stream,
+index]``) so output is independent of scheduling.
+
+Usage:
+    python scripts/precompute.py --split train --out /cache/train \\
+        --config brains.json --n 30000
+    python scripts/precompute.py --split val --source synthetic --n 500 …
+
+``--source synthetic`` runs hermetically on procedural phantoms;
+``--config`` points at a brain-spec JSON (see
+``exaspim_tpu.data.live.init_datasets``) for live cloud sampling.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from exaspim_tpu.data.cache import allocate_cache  # noqa: E402
+from exaspim_tpu.transforms import build_transform  # noqa: E402
+
+#: per-split seed streams (reference scripts/precompute.py:63)
+SEED_STREAMS = {"train": 0, "val": 1}
+
+DEFAULT_TRANSFORM = {
+    "kind": "asinh", "params": {"offset": 0.0, "scale": 60.0},
+}
+
+
+def _seed_task(seed, stream, index):
+    """Deterministic per-task RNG (reference precompute.py:73-89)."""
+    return np.random.SeedSequence([seed, stream, index])
+
+
+def precompute(out_dir, split="train", source="synthetic", config=None,
+               n=500, patch=(64, 64, 64), sigma_bm4d=24.0, seed=42,
+               transform_cfg=None, check_incoherence=True):
+    """Generate ``n`` patches into ``out_dir`` fulfilling the cache
+    contract."""
+    transform_cfg = transform_cfg or DEFAULT_TRANSFORM
+    if "calibrate" in transform_cfg:
+        # Calibration must be resolved before caching so every consumer
+        # reconstructs the same mapping (reference precompute.py:132-137).
+        raise ValueError(
+            "transform cfg must be frozen (no 'calibrate') for precompute"
+        )
+    build_transform(transform_cfg)  # validate
+
+    stream = SEED_STREAMS[split]
+    run_config = {
+        "split": split, "source": source, "n": int(n),
+        "patch_shape": list(patch), "sigma_bm4d": sigma_bm4d,
+        "seed": seed, "seed_stream": stream,
+        "check_incoherence": check_incoherence,
+        "transform": transform_cfg, "count_dtype": "uint16",
+        "brains_config": config,
+    }
+    raw, teacher, fg = allocate_cache(
+        out_dir, n, patch, transform_cfg, config=run_config
+    )
+
+    if source == "synthetic":
+        from exaspim_tpu.data.synthetic import SyntheticPatchDataset
+
+        ds = SyntheticPatchDataset(
+            n=n, patch_shape=patch, seed=seed + stream,
+            sigma_bm4d=sigma_bm4d, use_bm4d_teacher=True,
+        )
+
+        def make(i):
+            return ds[i]
+    else:
+        from exaspim_tpu.data.live import init_datasets
+        from exaspim_tpu.utils.util import read_json
+
+        brains = read_json(config)
+        train_ds, _, _ = init_datasets(
+            brains, patch_shape=patch, sigma_bm4d=sigma_bm4d,
+            check_incoherence=check_incoherence, n_val_examples=0,
+            seed=seed,
+        )
+
+        def make(i):
+            train_ds.reseed(_seed_task(seed, stream, i))
+            r, t, f, _, _ = train_ds.sample_example()
+            return r, t, f
+
+    t0 = time.time()
+    for i in range(n):
+        r, t, f = make(i)
+        raw[i], teacher[i], fg[i] = r, t, f
+        if (i + 1) % 50 == 0 or i + 1 == n:
+            rate = (i + 1) / (time.time() - t0)
+            print(
+                f"[{split}] {i + 1}/{n} patches "
+                f"({rate:.2f}/s)", flush=True,
+            )
+    raw.flush(), teacher.flush(), fg.flush()
+    print(f"cache complete: {out_dir}")
+    return out_dir
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--split", choices=("train", "val"), default="train")
+    p.add_argument("--out", required=True)
+    p.add_argument("--source", choices=("synthetic", "live"),
+                   default="synthetic")
+    p.add_argument("--config", help="brain-spec JSON for live source")
+    p.add_argument("--n", type=int, default=500)
+    p.add_argument("--patch", type=int, nargs=3, default=(64, 64, 64))
+    p.add_argument("--sigma-bm4d", type=float, default=24.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--transform-json",
+                   help="path to a frozen transform cfg JSON")
+    args = p.parse_args(argv)
+    tcfg = None
+    if args.transform_json:
+        with open(args.transform_json) as f:
+            tcfg = json.load(f)
+    precompute(
+        args.out, split=args.split, source=args.source,
+        config=args.config, n=args.n, patch=tuple(args.patch),
+        sigma_bm4d=args.sigma_bm4d, seed=args.seed, transform_cfg=tcfg,
+    )
+
+
+if __name__ == "__main__":
+    main()

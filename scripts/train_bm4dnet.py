@@ -1,0 +1,106 @@
+"""Train BM4DNet from precomputed caches (the production training entry).
+
+Capability parity with the reference's cache-only training script
+(reference scripts/train_bm4dnet.py): the transform is loaded from the
+cache contract (all cache dirs must agree), training never touches live
+datasets, and the run config — cache paths, transform, hyperparameters —
+is recorded next to the checkpoints.
+
+Defaults are the reference's compression operating point: fg_weight 0,
+preserve_foreground off, checkpoint weights with cratio 10
+(reference train_bm4dnet.py:156-211).
+
+Usage:
+    python scripts/train_bm4dnet.py --train-cache /c/train \\
+        --val-cache /c/val --out /runs/bm4dnet [--epochs 50] …
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import jax.numpy as jnp  # noqa: E402
+
+from exaspim_tpu.data.cache import (  # noqa: E402
+    CachedPatchDataset,
+    CachedValidateDataset,
+    load_cache_transform,
+)
+from exaspim_tpu.models import UNet, build_model  # noqa: E402
+from exaspim_tpu.train import Trainer  # noqa: E402
+from exaspim_tpu.transforms import build_transform  # noqa: E402
+
+#: reference operating point (reference train_bm4dnet.py:206-208)
+CHECKPOINT_WEIGHTS = {
+    "fg_mae": 1.0, "bg_mae": 0.2, "top_pct_error": 0.5, "cratio": 10.0,
+}
+
+
+def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
+          lr=1e-3, fg_weight=0.0, preserve_foreground=False,
+          val_every=1000, seed=42, width_multiplier=1.0, model_cfg=None,
+          resume=None, bf16=True, checkpoint_weights=None,
+          max_val_examples=None):
+    """Run cache-only training; returns the Trainer."""
+    transform_cfg = load_cache_transform(
+        list(train_cache) + list(val_cache)
+    )
+    transform = build_transform(transform_cfg)
+    train_ds = CachedPatchDataset(train_cache)
+    val_ds = CachedValidateDataset(val_cache)
+
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    model = build_model(model_cfg, dtype=dtype) if model_cfg else UNet(
+        width_multiplier=width_multiplier, dtype=dtype
+    )
+    trainer = Trainer(
+        output_dir, model, transform, lr=lr, epochs=epochs,
+        batch_size=batch_size, fg_weight=fg_weight,
+        preserve_foreground=preserve_foreground, val_every=val_every,
+        checkpoint_weights=checkpoint_weights or CHECKPOINT_WEIGHTS,
+        seed=seed, max_val_examples=max_val_examples,
+    )
+    trainer.save_config({
+        "train_cache": list(train_cache),
+        "val_cache": list(val_cache),
+        "bf16": bf16,
+    })
+    if resume:
+        trainer.load_pretrained_weights(resume)
+    trainer.run(train_ds, val_ds)
+    return trainer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train-cache", nargs="+", required=True)
+    p.add_argument("--val-cache", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--fg-weight", type=float, default=0.0)
+    p.add_argument("--preserve-foreground", action="store_true")
+    p.add_argument("--val-every", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--width-multiplier", type=float, default=1.0)
+    p.add_argument("--resume", help="checkpoint to warm-start from")
+    p.add_argument("--no-bf16", action="store_true")
+    p.add_argument("--max-val-examples", type=int)
+    args = p.parse_args(argv)
+    train(
+        args.train_cache, args.val_cache, args.out, epochs=args.epochs,
+        batch_size=args.batch_size, lr=args.lr, fg_weight=args.fg_weight,
+        preserve_foreground=args.preserve_foreground,
+        val_every=args.val_every, seed=args.seed,
+        width_multiplier=args.width_multiplier, resume=args.resume,
+        bf16=not args.no_bf16, max_val_examples=args.max_val_examples,
+    )
+
+
+if __name__ == "__main__":
+    main()

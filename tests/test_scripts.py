@@ -1,0 +1,133 @@
+"""Script-layer tests: precompute → train → evaluate end-to-end (tiny).
+
+The TPU equivalent of the reference's script tests (reference
+tests/test_precompute.py, test_train_bm4dnet.py): runs the actual CLI
+entry points on synthetic data with miniature shapes, asserting the
+cache contract, config provenance, checkpoint production, and the
+evaluation results file.
+"""
+
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+SCRIPTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+)
+sys.path.insert(0, SCRIPTS)
+
+import precompute as precompute_script  # noqa: E402
+import train_bm4dnet as train_script  # noqa: E402
+import evaluate_bm4dnet as evaluate_script  # noqa: E402
+import visualize_patches as viz_script  # noqa: E402
+
+
+TCFG = {"kind": "asinh", "params": {"offset": 100.0, "scale": 50.0}}
+
+
+@pytest.fixture(scope="module")
+def caches(tmp_path_factory):
+    root = tmp_path_factory.mktemp("script_caches")
+    train_dir = os.path.join(root, "train")
+    val_dir = os.path.join(root, "val")
+    precompute_script.precompute(
+        train_dir, split="train", source="synthetic", n=6,
+        patch=(16, 16, 16), sigma_bm4d=20.0, seed=42,
+        transform_cfg=TCFG,
+    )
+    precompute_script.precompute(
+        val_dir, split="val", source="synthetic", n=3,
+        patch=(16, 16, 16), sigma_bm4d=20.0, seed=42,
+        transform_cfg=TCFG,
+    )
+    return train_dir, val_dir
+
+
+def test_precompute_contract_and_config(caches):
+    train_dir, val_dir = caches
+    for d, n in [(train_dir, 6), (val_dir, 3)]:
+        raw = np.load(os.path.join(d, "raw.npy"), mmap_mode="r")
+        assert raw.shape == (n, 16, 16, 16) and raw.dtype == np.uint16
+        cfg = json.load(open(os.path.join(d, "config.json")))
+        assert cfg["transform"] == TCFG
+        assert cfg["seed"] == 42
+        assert cfg["seed_stream"] in (0, 1)
+        assert cfg["count_dtype"] == "uint16"
+        tj = json.load(open(os.path.join(d, "transform.json")))
+        assert tj == TCFG
+
+
+def test_precompute_splits_differ(caches):
+    train_dir, val_dir = caches
+    a = np.load(os.path.join(train_dir, "raw.npy"))
+    b = np.load(os.path.join(val_dir, "raw.npy"))
+    assert not np.array_equal(a[:3], b)
+
+
+def test_precompute_rejects_calibrating_transform(tmp_path):
+    with pytest.raises(ValueError, match="calibrate"):
+        precompute_script.precompute(
+            os.path.join(tmp_path, "x"), n=1,
+            transform_cfg={**TCFG, "calibrate": {"offset": True}},
+        )
+
+
+@pytest.fixture(scope="module")
+def trained(caches, tmp_path_factory):
+    train_dir, val_dir = caches
+    out = tmp_path_factory.mktemp("run")
+    trainer = train_script.train(
+        [train_dir], [val_dir], str(out), epochs=1, batch_size=3,
+        val_every=2, width_multiplier=0.25, bf16=False,
+        max_val_examples=2,
+    )
+    return trainer
+
+
+def test_train_produces_scored_checkpoints(trained):
+    ckpts = glob.glob(os.path.join(trained.ckpt_dir, "*.ckpt"))
+    assert ckpts
+    cfg = json.load(
+        open(os.path.join(trained.session_dir, "config.json"))
+    )
+    assert cfg["transform"] == TCFG
+    assert "train_cache" in cfg and "checkpoint_weights" in cfg
+    assert cfg["checkpoint_weights"]["cratio"] == 10.0
+
+
+def test_evaluate_end_to_end(trained, tmp_path):
+    from exaspim_tpu.data.synthetic import neurite_phantom, noisy_observation
+    from exaspim_tpu.utils import img_io
+
+    clean, _ = neurite_phantom((24, 24, 24), seed=9)
+    img = noisy_observation(clean, seed=10)
+    img_path = os.path.join(tmp_path, "vol.zarr")
+    img_io.write_zarr(img, img_path, chunks=(1, 1, 8, 8, 8))
+
+    out_dir = os.path.join(tmp_path, "eval")
+    results = evaluate_script.evaluate(
+        trained.ckpt_dir, img_path, out_dir, offset=0.0,
+        patch_size=16, overlap=4, trim=2, batch_size=4,
+        write_output=os.path.join(tmp_path, "denoised.ome.zarr"),
+    )
+    assert results["cratio_raw"] > 1.0
+    assert os.path.exists(os.path.join(out_dir, "results.json"))
+    assert os.path.exists(os.path.join(out_dir, "denoised_mips.png"))
+    back = np.asarray(
+        img_io.read(os.path.join(tmp_path, "denoised.ome.zarr"),
+                    dataset="0")
+    )
+    assert back.shape[-3:] == img.shape
+
+
+def test_visualize_patches_grid(caches, tmp_path):
+    train_dir, _ = caches
+    out = os.path.join(tmp_path, "grid.png")
+    viz_script.main([
+        "--cache", train_dir, "--out", out, "--n", "2",
+    ])
+    assert os.path.exists(out)
