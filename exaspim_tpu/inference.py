@@ -143,27 +143,95 @@ def tiled_accumulate(apply_fn, params, vol, starts, global_starts,
     return accum, wgt
 
 
+def _parity_canvas(blocks, grid_dims, stride, patch, vol_shape):
+    """Dense overlap-add of a uniform patch grid — NO scatter.
+
+    ``blocks``: (nz·ny·nx, P, P, P) values on the uniform grid
+    ``start = index * stride`` per axis. Patches at even/odd grid
+    parities are mutually disjoint when ``patch ≤ 2·stride``, so the sum
+    decomposes into 8 parity groups, each laid out by pure
+    pad/transpose/reshape and added with a static shift — every op is a
+    dense copy XLA streams at memory bandwidth (XLA scatter, the
+    alternative, serializes badly on TPU).
+    """
+    nz, ny, nx = grid_dims
+    P, s = patch, stride
+    if P > 2 * s:
+        raise ValueError(
+            f"patch {P} > 2×stride {s}: parity decomposition needs "
+            "overlap ≤ stride"
+        )
+    blocks = blocks.reshape(nz, ny, nx, P, P, P)
+    out = jnp.zeros(vol_shape, blocks.dtype)
+    for a in range(min(2, nz)):
+        for b in range(min(2, ny)):
+            for c in range(min(2, nx)):
+                sub = blocks[a::2, b::2, c::2]
+                mz, my, mx = sub.shape[:3]
+                # Pad each P-block into its 2s-cell, lay out as a canvas.
+                sub = jnp.pad(
+                    sub,
+                    [(0, 0)] * 3 + [(0, 2 * s - P)] * 3,
+                )
+                canvas = sub.transpose(0, 3, 1, 4, 2, 5).reshape(
+                    mz * 2 * s, my * 2 * s, mx * 2 * s
+                )
+                # Static shift to the parity offset, crop to volume.
+                off = (a * s, b * s, c * s)
+                lim = [
+                    min(o + e, v) for o, e, v in zip(
+                        off, canvas.shape, vol_shape
+                    )
+                ]
+                region = tuple(
+                    slice(o, l) for o, l in zip(off, lim)
+                )
+                crop = tuple(
+                    slice(0, l - o) for o, l in zip(off, lim)
+                )
+                out = out.at[region].add(canvas[crop])
+    return out
+
+
 @functools.lru_cache(maxsize=32)
 def _tiled_program(apply_fn, transform, vol_shape, orig_shape, patch,
-                   batch, trim, n_batches, return_float):
+                   stride, batch, trim, grid_dims, return_float):
     """Build + jit the full tiled-inference program for one geometry.
 
     The ENTIRE datapath — forward intensity transform, pad, patch
-    gather, model forward, stitch, inverse transform, uint16 quantize —
-    is one XLA program: raw counts in, counts out, zero intermediate
-    host↔device round-trips (each eager op costs a dispatch over the
-    host↔TPU link).
+    gather, model forward, parity-canvas stitch, inverse transform,
+    uint16 quantize — is one XLA program: raw counts in, counts out,
+    zero intermediate host↔device round-trips (each eager op costs a
+    dispatch over the host↔TPU link).
     """
+    P = patch
+    n_grid = int(np.prod(grid_dims))
 
     def run(params, raw, starts):
         x = transform.forward(raw.astype(jnp.float32))
         x = jnp.pad(
             x, [(0, p - s) for p, s in zip(vol_shape, orig_shape)]
         )
-        accum, wgt = tiled_accumulate(
-            apply_fn, params, x, starts, starts, orig_shape, patch,
-            batch, trim,
-        )
+        n = starts.shape[0]
+        sb = starts.reshape(n // batch, batch, 3)
+
+        def fwd(batch_starts):
+            patches = jax.vmap(
+                lambda st: jax.lax.dynamic_slice(x, st, (P, P, P))
+            )(batch_starts)
+            pred = apply_fn(params, patches[..., None])[..., 0]
+            masks = jax.vmap(
+                lambda g: trim_weight_mask(g, P, trim, orig_shape)
+            )(batch_starts)
+            return pred.astype(jnp.float32) * masks, masks
+
+        preds, masks = jax.lax.map(fwd, sb)
+        # Duplicate-padded tail entries (batch alignment) drop here; the
+        # canvas wants exactly the uniform grid.
+        preds = preds.reshape(n, P, P, P)[:n_grid]
+        masks = masks.reshape(n, P, P, P)[:n_grid]
+        accum = _parity_canvas(preds, grid_dims, stride, P, vol_shape)
+        wgt = _parity_canvas(masks, grid_dims, stride, P, vol_shape)
         out = accum / (wgt + 1e-8)
         out = jax.lax.slice(out, (0, 0, 0), orig_shape)
         if return_float:
@@ -210,6 +278,11 @@ def predict(img, model, params, transform, patch_size=64, overlap=12,
         )
 
     starts = generate_patch_starts(img.shape, patch_size, overlap)
+    stride = patch_size - overlap
+    grid_dims = tuple(
+        len(range(0, max(d - patch_size + stride, 1), stride))
+        for d in img.shape
+    )
     # Pad volume so every patch is fully in-bounds (constant pad in the
     # transform domain, like reference add_padding).
     padded_shape = tuple(
@@ -222,12 +295,11 @@ def predict(img, model, params, transform, patch_size=64, overlap=12,
         starts = np.concatenate([starts, np.repeat(
             starts[-1:], n_pad, axis=0
         )])
-    n_batches = len(starts) // batch_size
 
     apply_fn = _model_apply(model)
     program = _tiled_program(
         apply_fn, transform, padded_shape, img.shape, patch_size,
-        batch_size, trim, n_batches, bool(return_float),
+        stride, batch_size, trim, grid_dims, bool(return_float),
     )
     return np.asarray(program(params, jnp.asarray(img), jnp.asarray(starts)))
 

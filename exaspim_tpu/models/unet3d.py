@@ -216,8 +216,11 @@ class UNet(nn.Module):
         x = Up(c3 // factor, self.trilinear, dtype=dt)(x, s3)
         x = Up(c2 // factor, self.trilinear, dtype=dt)(x, s2)
         x = Up(c1, self.trilinear, dtype=dt)(x, s1)
+        # Zero-init head: the residual net starts as the identity map, so
+        # an untrained model is a no-op denoiser (stable early training).
         logits = nn.Conv(
             1, (1, 1, 1), dtype=dt, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros,
         )(x)
         return xin + logits.astype(xin.dtype)
 
@@ -256,6 +259,7 @@ class N2V2UNet(UNet):
         x = jnp.pad(x, pads)
         logits = nn.Conv(
             1, (1, 1, 1), dtype=dt, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros,
         )(x)
         return xin + logits.astype(xin.dtype)
 

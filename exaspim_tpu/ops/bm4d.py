@@ -135,6 +135,13 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=8, step=3, search=7,
 
     # (C, R) distance table; scanned over offsets to bound memory.
     d2 = jax.lax.map(dist_for_offset, offs, batch_size=16)
+    # Tie-break toward the reference block: flat regions tie every
+    # candidate, and top_k must then prefer near offsets or coverage
+    # collapses to one window corner. The penalty is ≪ any real
+    # distance difference.
+    off_norm2 = jnp.sum(offs.astype(jnp.float32) ** 2, axis=1)
+    tie_eps = 1e-6 * (jnp.mean(d2) + 1.0)
+    d2 = d2 + tie_eps * off_norm2[:, None]
     _, idx = jax.lax.top_k(-d2.T, K)  # (R, K) best offset indices
 
     sel = refs[:, None, :] + offs[idx]  # (R, K, 3) starts, original coords

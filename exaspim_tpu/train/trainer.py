@@ -65,7 +65,7 @@ class Trainer:
                  fg_weight=0.0, preserve_foreground=False, val_every=1000,
                  checkpoint_weights=None, clevel=6, seed=42,
                  warmup_steps=0, max_val_examples=None, keep_mips=10,
-                 tensorboard=True):
+                 tensorboard=True, mesh=None):
         self.model = model
         self.transform = transform
         self.lr = lr
@@ -83,6 +83,10 @@ class Trainer:
         self.warmup_steps = int(warmup_steps)
         self.max_val_examples = max_val_examples
         self.keep_mips = int(keep_mips)
+        #: optional jax.sharding.Mesh → data-parallel training (batch
+        #: sharded across the mesh, params replicated, gradient psum
+        #: inserted by XLA).
+        self.mesh = mesh
 
         stamp = datetime.now().strftime("%Y%m%d_%H%M")
         self.output_dir = os.fspath(output_dir)
@@ -185,26 +189,45 @@ class Trainer:
             seed=self.seed, warmup_steps=self.warmup_steps,
             params=self._pretrained_params,
         )
-        train_step = make_train_step(self.fg_weight)
+        if self.mesh is not None:
+            from exaspim_tpu.parallel import make_dp_train_step
+
+            train_step = make_dp_train_step(
+                self.mesh, fg_weight=self.fg_weight
+            )
+        else:
+            train_step = make_train_step(self.fg_weight)
         eval_step = make_eval_step(self.fg_weight)
         self.save_config({
             "total_steps": total_steps,
             "steps_per_epoch": steps_per_epoch,
         })
 
+        from exaspim_tpu.utils.profiling import StepTimer
+
         step = 0
         t0 = time.time()
+        timer = StepTimer(
+            voxels_per_step=self.batch_size * int(np.prod(patch))
+        )
         for epoch in range(self.epochs):
             train_loader.set_epoch(epoch)
             for x, y, fg in prefetch_to_device(train_loader):
                 state, loss = train_step(state, x, y, fg)
                 step += 1
+                stats = timer.step() or {}
                 if step % 50 == 0 or step == total_steps:
                     self._scalar("train_loss", float(loss), step)
+                    if "voxels_per_sec" in stats:
+                        self._scalar(
+                            "voxels_per_sec", stats["voxels_per_sec"],
+                            step,
+                        )
                     self._log({
                         "event": "train", "step": step, "epoch": epoch,
                         "loss": float(loss),
                         "wall_s": round(time.time() - t0, 1),
+                        **stats,
                     })
                 if step % self.val_every == 0:
                     self.validate_and_checkpoint(

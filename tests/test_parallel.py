@@ -120,3 +120,30 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(pa), np.asarray(pb), rtol=2e-3, atol=1e-4
         )
+
+
+def test_trainer_with_mesh(tmp_path):
+    from exaspim_tpu.data import make_synthetic_cache
+    from exaspim_tpu.data.cache import (
+        CachedPatchDataset,
+        CachedValidateDataset,
+    )
+    from exaspim_tpu.train import Trainer
+
+    tcfg = {"kind": "asinh", "params": {"offset": 100.0, "scale": 50.0}}
+    train_dir = make_synthetic_cache(
+        str(tmp_path / "train"), 8, (8, 8, 8), tcfg, seed=1
+    )
+    val_dir = make_synthetic_cache(
+        str(tmp_path / "val"), 2, (8, 8, 8), tcfg, seed=2
+    )
+    mesh = make_mesh(8, axis="data")
+    trainer = Trainer(
+        tmp_path, UNet(width_multiplier=0.25),
+        build_transform(tcfg), epochs=1, batch_size=8, val_every=1,
+        tensorboard=False, keep_mips=0, mesh=mesh,
+    )
+    state = trainer.run(
+        CachedPatchDataset(train_dir), CachedValidateDataset(val_dir)
+    )
+    assert state.step == 1
