@@ -17,12 +17,17 @@ from exaspim_tpu.compression.cratio import (
     compute_cratio,
     compute_cratio_2d,
 )
+from exaspim_tpu.compression.jpeg import JpegSliceCodec, PngSliceCodec
+from exaspim_tpu.compression.proxy import cratio_proxy
 
 __all__ = [
     "BloscCodec",
+    "JpegSliceCodec",
+    "PngSliceCodec",
     "ZstdShuffleCodec",
     "best_codec",
     "compute_cratio",
     "compute_cratio_2d",
     "compress_and_decompress_2d",
+    "cratio_proxy",
 ]

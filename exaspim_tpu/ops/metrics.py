@@ -171,7 +171,10 @@ def foreground_background_mae(pred, ref, fg_mask):
 
 def mip_max_error(pred, raw):
     """Absolute error between the global maxima of two images."""
-    return float(abs(np.max(pred) - np.max(raw)))
+    # int64 promotion: uint16 − uint16 wraps on overflow.
+    return float(abs(
+        np.max(pred).astype(np.int64) - np.max(raw).astype(np.int64)
+    ))
 
 
 def false_bright_rate(pred, raw, fg_mask, k=6.0):

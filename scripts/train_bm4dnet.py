@@ -44,7 +44,7 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
           lr=1e-3, fg_weight=0.0, preserve_foreground=False,
           val_every=1000, seed=42, width_multiplier=1.0, model_cfg=None,
           resume=None, bf16=True, checkpoint_weights=None,
-          max_val_examples=None):
+          max_val_examples=None, data_parallel=False):
     """Run cache-only training; returns the Trainer."""
     transform_cfg = load_cache_transform(
         list(train_cache) + list(val_cache)
@@ -57,12 +57,17 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
     model = build_model(model_cfg, dtype=dtype) if model_cfg else UNet(
         width_multiplier=width_multiplier, dtype=dtype
     )
+    mesh = None
+    if data_parallel:
+        from exaspim_tpu.parallel import make_mesh
+
+        mesh = make_mesh(axis="data")
     trainer = Trainer(
         output_dir, model, transform, lr=lr, epochs=epochs,
         batch_size=batch_size, fg_weight=fg_weight,
         preserve_foreground=preserve_foreground, val_every=val_every,
         checkpoint_weights=checkpoint_weights or CHECKPOINT_WEIGHTS,
-        seed=seed, max_val_examples=max_val_examples,
+        seed=seed, max_val_examples=max_val_examples, mesh=mesh,
     )
     trainer.save_config({
         "train_cache": list(train_cache),
@@ -91,6 +96,8 @@ def main(argv=None):
     p.add_argument("--resume", help="checkpoint to warm-start from")
     p.add_argument("--no-bf16", action="store_true")
     p.add_argument("--max-val-examples", type=int)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch across all local devices")
     args = p.parse_args(argv)
     train(
         args.train_cache, args.val_cache, args.out, epochs=args.epochs,

@@ -101,3 +101,26 @@ def test_cratio_2d_and_roundtrip_2d():
     )
     assert ratio == 1.0
     np.testing.assert_array_equal(out, img)
+
+
+def test_jpeg_slice_codec_roundtrip_and_ratio():
+    from exaspim_tpu.compression import JpegSliceCodec, compute_cratio_2d
+
+    img = _poisson_volume((16, 64, 64), lam=2000, offset=500, seed=5)
+    codec = JpegSliceCodec(quality=85)
+    ratio = compute_cratio_2d(img, codec, patch_shape=(8, 64, 64))
+    assert ratio > 2.0
+    sl = img[0]
+    out = codec.decode(codec.encode(sl))
+    assert out.shape == sl.shape and out.dtype == sl.dtype
+    # Lossy but in the right ballpark (8-bit quantization + JPEG).
+    assert abs(float(out.mean()) - float(sl.mean())) < 0.1 * sl.mean()
+
+
+def test_png_slice_codec_lossless():
+    from exaspim_tpu.compression import PngSliceCodec
+
+    img = _poisson_volume((4, 32, 32), seed=6)
+    codec = PngSliceCodec()
+    out = codec.decode(codec.encode(img[0]))
+    np.testing.assert_array_equal(out, img[0])
