@@ -22,3 +22,29 @@ Layer map (mirrors reference SURVEY §1, redesigned TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API: exaspim_tpu.predict, .Trainer, .bm4d, …
+
+    Submodules import JAX and friends; deferring keeps
+    ``import exaspim_tpu`` instant for tooling.
+    """
+    lazy = {
+        "predict": ("exaspim_tpu.inference", "predict"),
+        "predict_patch": ("exaspim_tpu.inference", "predict_patch"),
+        "denoise_volume": ("exaspim_tpu.pipeline", "denoise_volume"),
+        "Trainer": ("exaspim_tpu.train", "Trainer"),
+        "build_transform": ("exaspim_tpu.transforms", "build_transform"),
+        "bm4d": ("exaspim_tpu.ops.bm4d", "bm4d"),
+        "UNet": ("exaspim_tpu.models", "UNet"),
+        "N2V2UNet": ("exaspim_tpu.models", "N2V2UNet"),
+        "compute_cratio": ("exaspim_tpu.compression", "compute_cratio"),
+        "ssim3d": ("exaspim_tpu.ops.ssim", "ssim3d"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'exaspim_tpu' has no attribute {name!r}")

@@ -321,6 +321,22 @@ class TrainDataset:
             mask = make_foreground_mask(raw, k=self.bright_k)
         return mask
 
+    def sample_intensity_values(self, n_patches=8):
+        """Concatenated counts from random patches — the transform-
+        calibration sample (reference data_handling.py:716-740)."""
+        values = []
+        for _ in range(n_patches):
+            brain_id = self.sample_brain()
+            voxel = self._clamp_center(
+                brain_id, self.sample_voxel(brain_id)
+            )
+            raw = self.read_counts(brain_id, voxel)
+            if raw is not None:
+                values.append(raw.ravel())
+        if not values:
+            raise RuntimeError("no readable patches for calibration")
+        return np.concatenate(values)
+
     def skeleton_mask(self, brain_id, voxel):
         brain = self.brains[brain_id]
         if brain.swc_voxels is None or not len(brain.swc_voxels):

@@ -25,7 +25,12 @@ from exaspim_tpu.train.checkpoint import restore_pipeline
 from exaspim_tpu.transforms import with_offset
 from exaspim_tpu.utils.plots import plot_mips
 
-__all__ = ["SupervisedEvaluator", "UnsupervisedEvaluator"]
+__all__ = [
+    "SupervisedEvaluator",
+    "UnsupervisedEvaluator",
+    "read_brain_ids",
+    "read_voxels",
+]
 
 
 def _to_csv(rows, path):
@@ -169,3 +174,27 @@ class UnsupervisedEvaluator:
             "l1_gt": round(float(compute_mae(pred, gt)), 3),
             "lmax_gt": round(float(compute_lmax(pred, gt)), 3),
         }
+
+
+def read_brain_ids(data_dir, is_test=True):
+    """Cohort brain-id list JSON (reference evaluate.py:240-243)."""
+    import json
+
+    name = "test" if is_test else "train"
+    with open(os.path.join(data_dir, f"{name}_brain_ids.json")) as f:
+        return json.load(f)
+
+
+def read_voxels(data_dir, brain_id, is_foreground=True):
+    """Voxel-tuple CSV for one brain; empty list when absent
+    (reference evaluate.py:245-251)."""
+    import ast
+
+    import pandas as pd
+
+    kind = "foreground" if is_foreground else "background"
+    path = os.path.join(data_dir, f"{kind}-{brain_id}.csv")
+    try:
+        return list(pd.read_csv(path)["voxels"].apply(ast.literal_eval))
+    except FileNotFoundError:
+        return []

@@ -1,0 +1,143 @@
+"""Whole-volume streaming denoise pipeline.
+
+The production driver the reference lacks: the reference's eval script
+denoises one in-memory crop (reference scripts/evaluate_bm4dnet.py);
+whole-brain volumes are far larger than host or device memory. This
+module streams a (possibly remote) chunked volume through the TPU in
+z-slabs:
+
+    reader thread (tensorstore, async chunk fetch)
+        → bounded prefetch queue (double buffering)
+        → fused tiled-inference program on device
+        → writer thread (Zarr v3 output, async)
+
+Each slab carries a ``patch_size`` halo on interior faces so every
+output voxel sees the full overlap-average context — seams are exact
+(same argument as :func:`exaspim_tpu.inference._predict_streaming`).
+The prefetch/write threads overlap host IO with device compute, the
+TPU-native analogue of the reference's producer-thread DataLoader
+(reference data_handling.py:1236-1384) applied to inference.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from exaspim_tpu.inference import predict
+from exaspim_tpu.utils import img_io
+
+__all__ = ["denoise_volume"]
+
+
+def _slab_plan(Z, slab_z, halo):
+    plan = []
+    for z0 in range(0, Z, slab_z):
+        z1 = min(z0 + slab_z, Z)
+        lo = max(z0 - halo, 0)
+        hi = min(z1 + halo, Z)
+        plan.append((z0, z1, lo, hi))
+    return plan
+
+
+def denoise_volume(img, model, params, transform, output_path=None,
+                   slab_z=256, patch_size=64, overlap=12, trim=5,
+                   batch_size=32, clevel=5, chunks=(1, 1, 64, 64, 64),
+                   prefetch=2, progress=False):
+    """Denoise an arbitrarily large volume slab-by-slab.
+
+    ``img``: path / URL of a chunked volume (opened lazily) or an
+    ndarray. With ``output_path`` the result streams into a Zarr v3
+    array and the path is returned; otherwise the assembled uint16
+    volume is returned (must fit host memory).
+    """
+    src = img_io.read(img) if isinstance(img, (str,)) else img
+    shape = tuple(src.shape[-3:])
+    Z, Y, X = shape
+    halo = patch_size
+    slab_z = max(int(slab_z), patch_size)
+    plan = _slab_plan(Z, slab_z, halo)
+
+    out_arr = None
+    out_store = None
+    if output_path is None:
+        out_arr = np.empty(shape, np.uint16)
+    else:
+        import tensorstore as ts
+
+        from exaspim_tpu.utils.img_io import _kvstore, _zarr3_codecs
+
+        spec = {
+            "driver": "zarr3",
+            "kvstore": _kvstore(output_path),
+            "metadata": {
+                "shape": [1, 1, *shape],
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": list(chunks)},
+                },
+                "data_type": "uint16",
+                "codecs": _zarr3_codecs("zstd", clevel, "shuffle", 2),
+            },
+            "create": True,
+            "delete_existing": True,
+        }
+        out_store = ts.open(spec).result()
+
+    def fetch(lo, hi):
+        if hasattr(src, "read"):
+            view = src[..., lo:hi, :, :] if len(src.shape) == 5 else (
+                src[lo:hi]
+            )
+            block = np.asarray(view.read().result())
+        else:
+            block = np.asarray(
+                src[..., lo:hi, :, :] if src.ndim == 5 else src[lo:hi]
+            )
+        if block.ndim == 5:
+            block = block[0, 0]
+        return block.astype(np.uint16)
+
+    # Reader thread: keeps `prefetch` slabs in flight.
+    q = queue.Queue(maxsize=max(1, prefetch))
+    _STOP = object()
+
+    def reader():
+        try:
+            for z0, z1, lo, hi in plan:
+                q.put(((z0, z1, lo, hi), fetch(lo, hi)))
+            q.put(_STOP)
+        except BaseException as exc:
+            q.put(exc)
+
+    threading.Thread(target=reader, daemon=True).start()
+
+    pending_writes = []
+    done = 0
+    while True:
+        item = q.get()
+        if item is _STOP:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        (z0, z1, lo, hi), block = item
+        res = predict(
+            block, model, params, transform, patch_size=patch_size,
+            overlap=overlap, trim=trim, batch_size=batch_size,
+        )
+        core = res[z0 - lo:z0 - lo + (z1 - z0)]
+        if out_arr is not None:
+            out_arr[z0:z1] = core
+        else:
+            pending_writes.append(
+                out_store[0, 0, z0:z1, :, :].write(core)
+            )
+        done += 1
+        if progress:
+            print(f"denoise_volume: slab {done}/{len(plan)}", flush=True)
+
+    for w in pending_writes:
+        w.result()
+    return out_arr if out_arr is not None else output_path

@@ -30,6 +30,9 @@ __all__ = [
     "write_zarr",
     "write_ome_zarr",
     "downsample_windowed_mean",
+    "to_physical",
+    "to_voxels",
+    "local_to_physical",
 ]
 
 _SHUFFLE_NAMES = {0: "noshuffle", 1: "shuffle", 2: "bitshuffle"}
@@ -395,3 +398,28 @@ def _write_group_meta(path, attributes):
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "zarr.json"), "w") as f:
             f.write(doc)
+
+
+# ------------------------------------------------------- coordinate utils
+
+def to_physical(voxel, anisotropy):
+    """(z, y, x) voxel → physical (x, y, z) coordinate
+    (reference img_util.py:334-353)."""
+    voxel = list(voxel)[::-1]
+    return tuple(voxel[i] * anisotropy[i] for i in range(3))
+
+
+def to_voxels(xyz, anisotropy):
+    """Physical (x, y, z) → nearest (z, y, x) voxel
+    (reference img_util.py:355-373)."""
+    voxel = np.asarray(xyz, float) / np.asarray(anisotropy, float)
+    return np.round(voxel).astype(int)[::-1]
+
+
+def local_to_physical(local_voxel, offset, anisotropy):
+    """Patch-local voxel + patch offset → physical coordinate
+    (reference img_util.py:376-397)."""
+    global_voxel = np.asarray(
+        [v + o for v, o in zip(local_voxel, offset)]
+    )
+    return to_physical(global_voxel, anisotropy)

@@ -16,6 +16,7 @@ __all__ = [
     "plot_histogram",
     "plot_slices",
     "make_segmentation_colormap",
+    "plot_segmentation_mips",
     "save_mip_png",
 ]
 
@@ -113,3 +114,24 @@ def save_mip_png(img, output_path, axis=0):
         (255 * mip / hi).astype(np.uint8)
     ).save(output_path)
     return output_path
+
+
+def plot_segmentation_mips(labels, output_path=None, seed=0):
+    """Max-projected segmentation label views with a random colormap
+    (reference img_util.py:607-637)."""
+    plt = _mpl()
+    labels = _as_3d(labels)
+    cmap = make_segmentation_colormap(seed=seed)
+    fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+    for ax, axis, name in zip(axes, (0, 1, 2), ("XY", "XZ", "YZ")):
+        ax.imshow(
+            labels.max(axis=axis), cmap=cmap, interpolation="nearest"
+        )
+        ax.set_title(name)
+        ax.axis("off")
+    fig.tight_layout()
+    if output_path:
+        fig.savefig(output_path, dpi=120)
+        plt.close(fig)
+        return output_path
+    return fig

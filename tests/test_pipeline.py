@@ -1,0 +1,54 @@
+"""Streaming whole-volume pipeline tests: slab seams must be exact."""
+
+import os
+
+import numpy as np
+
+from exaspim_tpu.inference import predict
+from exaspim_tpu.pipeline import denoise_volume
+from exaspim_tpu.transforms import build_transform
+from exaspim_tpu.utils import img_io
+
+TCFG = {"kind": "linear", "params": {"mn": 0.0, "mx": 1000.0, "clip": 8.0}}
+
+
+class DoublePlusOne:
+    def apply(self, variables, x):
+        return x * 2.0 + 0.01
+
+
+def test_streamed_equals_direct(tmp_path):
+    t = build_transform(TCFG)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 900, (80, 24, 20)).astype(np.uint16)
+    direct = predict(
+        img, DoublePlusOne(), {}, t, patch_size=16, overlap=4, trim=2,
+        batch_size=4,
+    )
+    streamed = denoise_volume(
+        img, DoublePlusOne(), {}, t, slab_z=32, patch_size=16,
+        overlap=4, trim=2, batch_size=4,
+    )
+    np.testing.assert_array_equal(streamed, direct)
+
+
+def test_streamed_zarr_to_zarr(tmp_path):
+    t = build_transform(TCFG)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 900, (48, 20, 18)).astype(np.uint16)
+    in_path = os.path.join(tmp_path, "in.zarr")
+    out_path = os.path.join(tmp_path, "out.zarr")
+    img_io.write_zarr(img, in_path, chunks=(1, 1, 16, 16, 16))
+
+    result = denoise_volume(
+        in_path, DoublePlusOne(), {}, t, output_path=out_path,
+        slab_z=16, patch_size=16, overlap=4, trim=2, batch_size=4,
+        chunks=(1, 1, 16, 16, 16),
+    )
+    assert result == out_path
+    direct = predict(
+        img, DoublePlusOne(), {}, t, patch_size=16, overlap=4, trim=2,
+        batch_size=4,
+    )
+    back = np.asarray(img_io.read(out_path))[0, 0]
+    np.testing.assert_array_equal(back, direct)
