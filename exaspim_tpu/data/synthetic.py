@@ -103,7 +103,9 @@ class SyntheticPatchDataset:
     def __len__(self):
         return self.n
 
-    def _make(self, index):
+    def raw_and_fg(self, index):
+        """Raw counts + foreground mask only (no teacher) — lets batch
+        consumers generate teachers with :func:`…ops.bm4d.bm4d_batch`."""
         ss = np.random.SeedSequence([self.seed, index])
         s1, s2 = ss.spawn(2)
         clean, fg = neurite_phantom(
@@ -113,6 +115,10 @@ class SyntheticPatchDataset:
         raw = noisy_observation(
             clean, seed=int(s2.generate_state(1)[0])
         )
+        return raw, fg
+
+    def _make(self, index):
+        raw, fg = self.raw_and_fg(index)
         if self.use_bm4d_teacher:
             teacher = _teacher(raw, self.sigma_bm4d)
         else:

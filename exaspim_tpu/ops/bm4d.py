@@ -70,10 +70,14 @@ def _ref_grid(dim, block, step):
 
 
 def _box_sum(x, size):
-    """Valid-mode box sum over a cube window via ``reduce_window``."""
-    return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (size,) * 3, (1,) * 3, "VALID"
-    )
+    """Valid-mode box sum over a cube window, separably (3 × 1D)."""
+    for axis in range(3):
+        window = [1, 1, 1]
+        window[axis] = size
+        x = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, tuple(window), (1, 1, 1), "VALID"
+        )
+    return x
 
 
 @functools.partial(
@@ -133,8 +137,9 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=8, step=3, search=7,
         d2_field = _box_sum((guide - shifted) ** 2, B)  # (Z-B+1, …)
         return d2_field[rz, ry, rx]  # (R,)
 
-    # (C, R) distance table; scanned over offsets to bound memory.
-    d2 = jax.lax.map(dist_for_offset, offs, batch_size=16)
+    # (C, R) distance table; scanned over offset batches to bound the
+    # transient full-volume diff fields.
+    d2 = jax.lax.map(dist_for_offset, offs, batch_size=49)
     # Tie-break toward the reference block: flat regions tie every
     # candidate, and top_k must then prefer near offsets or coverage
     # collapses to one window corner. The penalty is ≪ any real
@@ -199,6 +204,23 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=8, step=3, search=7,
         jnp.broadcast_to(w, filt.shape)
     )
     return accum / (weight + 1e-12)
+
+
+def bm4d_batch(vols, sigma, block=4, group=8, step=3, search=7,
+               two_stage=True):
+    """Denoise a batch of equal-shape volumes in one XLA program.
+
+    vmapped :func:`bm4d` — the precompute teacher generator's fast path:
+    batching amortizes kernel launch and keeps the VPU/MXU fed across
+    patches (single 64³ patches underutilize the chip).
+    """
+    import functools as _ft
+
+    fn = _ft.partial(
+        bm4d, block=block, group=group, step=step, search=search,
+        two_stage=two_stage,
+    )
+    return jax.vmap(lambda v: fn(v, sigma))(jnp.asarray(vols))
 
 
 def bm4d(vol, sigma, block=4, group=8, step=3, search=7, two_stage=True):

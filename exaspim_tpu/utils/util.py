@@ -26,6 +26,8 @@ __all__ = [
     "is_cloud_path",
     "list_cloud_paths",
     "cloud_filesystem",
+    "sample_once",
+    "time_writer",
 ]
 
 
@@ -121,3 +123,21 @@ def list_cloud_paths(path, extension=None):
             continue
         out.append(f"{scheme}://{p}")
     return out
+
+
+def sample_once(container):
+    """One uniformly drawn element (reference util.py:601-617)."""
+    import random
+
+    seq = list(container)
+    return seq[random.randint(0, len(seq) - 1)]
+
+
+def time_writer(t, unit="seconds"):
+    """Humanize a duration: returns (value, unit), promoting units
+    (reference util.py:619-645)."""
+    assert unit in ("seconds", "minutes", "hours")
+    up = {"seconds": "minutes", "minutes": "hours", "hours": "days"}
+    if t < 60 or unit == "hours":
+        return t, unit
+    return time_writer(t / 60, unit=up[unit])
