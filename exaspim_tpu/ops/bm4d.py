@@ -125,7 +125,7 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=8, step=3, search=7,
     ).astype(np.int32)
     offs = jnp.asarray(offs_np)  # (C, 3) window offsets
 
-    rz, ry, rx = refs[:, 0], refs[:, 1], refs[:, 2]
+    zs_j, ys_j, xs_j = (jnp.asarray(a) for a in (zs, ys, xs))
 
     def dist_for_offset(off):
         # Shifted copy of the guide: g(v + off) for all v in original
@@ -135,7 +135,12 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=8, step=3, search=7,
             (Z, Y, X),
         )
         d2_field = _box_sum((guide - shifted) ** 2, B)  # (Z-B+1, …)
-        return d2_field[rz, ry, rx]  # (R,)
+        # Per-axis row gathers over the regular ref grid (no scalar
+        # gather: each take pulls contiguous planes/rows).
+        sub = jnp.take(d2_field, zs_j, axis=0)
+        sub = jnp.take(sub, ys_j, axis=1)
+        sub = jnp.take(sub, xs_j, axis=2)
+        return sub.reshape(-1)  # (R,)
 
     # (C, R) distance table; scanned over offset batches to bound the
     # transient full-volume diff fields.
@@ -155,17 +160,23 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=8, step=3, search=7,
     sel = jnp.clip(
         sel, 0, jnp.asarray([Z - B, Y - B, X - B], jnp.int32)
     )
+    sz, sy, sx = sel[..., 0], sel[..., 1], sel[..., 2]
 
-    # Gather all group blocks with one advanced-indexing read.
-    bidx_np = np.stack(
-        np.meshgrid(*([np.arange(B)] * 3), indexing="ij"), axis=-1
-    )
-    bidx = jnp.asarray(bidx_np)  # (B, B, B, 3)
-    coords = sel[:, :, None, None, None, :] + bidx[None, None] + pad
-    cz, cy, cx = coords[..., 0], coords[..., 1], coords[..., 2]
-    ngroups = npad[cz, cy, cx]  # (R, K, B, B, B)
-    ggroups = gpad[cz, cy, cx]
-    starts = sel
+    # Row-major block view: rows[z, y, x, :] is the flattened B³ block
+    # starting at (z, y, x) — built from B³ dense shifted slices, so the
+    # group gather below moves whole 64-element rows instead of scalars
+    # (XLA scalar gathers serialize on TPU).
+    def block_rows(vol3):
+        slices = [
+            vol3[dz:Z - B + 1 + dz, dy:Y - B + 1 + dy, dx:X - B + 1 + dx]
+            for dz in range(B) for dy in range(B) for dx in range(B)
+        ]
+        return jnp.stack(slices, axis=-1)  # (Z-B+1, Y-B+1, X-B+1, B³)
+
+    nrows = block_rows(noisy)
+    grows = block_rows(guide)
+    ngroups = nrows[sz, sy, sx].reshape(-1, K, B, B, B)
+    ggroups = grows[sz, sy, sx].reshape(-1, K, B, B, B)
 
     mb = _dct_matrix(B)
     mk = _dct_matrix(K)
@@ -187,22 +198,33 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=8, step=3, search=7,
         _group_dct(coef, mk, inverse=True), mb, inverse=True
     )  # (R, K, B, B, B)
 
-    # Overlap-add aggregation with per-group weights.
+    # Overlap-add aggregation: scatter weighted block-rows onto the
+    # start-indexed row accumulator (row scatter, not scalar scatter),
+    # then fold rows back to voxel space with B³ dense shifted adds.
+    w = wgt[:, None, None]
+    filt_rows = filt.reshape(-1, K, B * B * B) * w
+    rows_shape = (Z - B + 1, Y - B + 1, X - B + 1)
+    acc_rows = jnp.zeros((*rows_shape, B * B * B), jnp.float32)
+    acc_rows = acc_rows.at[sz, sy, sx].add(filt_rows)
+    wgt_rows = jnp.zeros(rows_shape, jnp.float32)
+    wgt_rows = wgt_rows.at[sz, sy, sx].add(
+        jnp.broadcast_to(wgt[:, None], sz.shape)
+    )
+
     accum = jnp.zeros_like(noisy)
     weight = jnp.zeros_like(noisy)
-    bidx = np.stack(
-        [g for g in np.meshgrid(*([np.arange(B)] * 3), indexing="ij")],
-        axis=-1,
-    )
-    bidx = jnp.asarray(bidx)  # (B, B, B, 3)
-    # Absolute voxel coords per filtered block: (R, K, B, B, B, 3)
-    coords = starts[:, :, None, None, None, :] + bidx[None, None]
-    cz, cy, cx = coords[..., 0], coords[..., 1], coords[..., 2]
-    w = wgt[:, None, None, None, None]
-    accum = accum.at[cz, cy, cx].add(filt * w)
-    weight = weight.at[cz, cy, cx].add(
-        jnp.broadcast_to(w, filt.shape)
-    )
+    i = 0
+    for dz in range(B):
+        for dy in range(B):
+            for dx in range(B):
+                region = (
+                    slice(dz, Z - B + 1 + dz),
+                    slice(dy, Y - B + 1 + dy),
+                    slice(dx, X - B + 1 + dx),
+                )
+                accum = accum.at[region].add(acc_rows[..., i])
+                weight = weight.at[region].add(wgt_rows)
+                i += 1
     return accum / (weight + 1e-12)
 
 

@@ -45,13 +45,17 @@ def _slab_plan(Z, slab_z, halo):
 def denoise_volume(img, model, params, transform, output_path=None,
                    slab_z=256, patch_size=64, overlap=12, trim=5,
                    batch_size=32, clevel=5, chunks=(1, 1, 64, 64, 64),
-                   prefetch=2, progress=False):
+                   prefetch=2, progress=False, mesh=None):
     """Denoise an arbitrarily large volume slab-by-slab.
 
     ``img``: path / URL of a chunked volume (opened lazily) or an
     ndarray. With ``output_path`` the result streams into a Zarr v3
     array and the path is returned; otherwise the assembled uint16
     volume is returned (must fit host memory).
+
+    With ``mesh`` (a 1-axis :class:`jax.sharding.Mesh`), each slab runs
+    through the spatially-sharded engine — z-sharded across chips with
+    ICI halo exchange (:func:`exaspim_tpu.parallel.predict_sharded`).
     """
     src = img_io.read(img) if isinstance(img, (str,)) else img
     shape = tuple(src.shape[-3:])
@@ -123,10 +127,26 @@ def denoise_volume(img, model, params, transform, output_path=None,
         if isinstance(item, BaseException):
             raise item
         (z0, z1, lo, hi), block = item
-        res = predict(
-            block, model, params, transform, patch_size=patch_size,
-            overlap=overlap, trim=trim, batch_size=batch_size,
-        )
+        if mesh is not None:
+            from exaspim_tpu.parallel import predict_sharded
+
+            n = mesh.devices.size
+            zb = block.shape[0]
+            pad = (-zb) % n
+            if pad:
+                block = np.pad(
+                    block, [(0, pad), (0, 0), (0, 0)], mode="edge"
+                )
+            res = predict_sharded(
+                block, model, params, transform, mesh,
+                patch_size=patch_size, overlap=overlap, trim=trim,
+                batch_size=batch_size,
+            )[:zb]
+        else:
+            res = predict(
+                block, model, params, transform, patch_size=patch_size,
+                overlap=overlap, trim=trim, batch_size=batch_size,
+            )
         core = res[z0 - lo:z0 - lo + (z1 - z0)]
         if out_arr is not None:
             out_arr[z0:z1] = core

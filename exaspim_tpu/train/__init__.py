@@ -5,7 +5,9 @@ from exaspim_tpu.train.checkpoint import (
     find_best_checkpoint,
     load_checkpoint,
     restore_pipeline,
+    restore_train_state,
     save_checkpoint,
+    save_train_state,
 )
 from exaspim_tpu.train.state import (
     TrainState,
@@ -27,5 +29,7 @@ __all__ = [
     "make_eval_step",
     "make_train_step",
     "restore_pipeline",
+    "restore_train_state",
     "save_checkpoint",
+    "save_train_state",
 ]

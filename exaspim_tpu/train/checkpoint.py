@@ -25,6 +25,8 @@ __all__ = [
     "checkpoint_filename",
     "find_best_checkpoint",
     "restore_pipeline",
+    "save_train_state",
+    "restore_train_state",
 ]
 
 _SCORE_RE = re.compile(
@@ -106,3 +108,44 @@ def find_best_checkpoint(directory):
             f"no scored checkpoints under {directory!r}"
         )
     return best_path
+
+
+def save_train_state(path, state, model_config, transform_cfg,
+                     extra=None):
+    """Full-state checkpoint (params + optimizer + step) for elastic
+    resume — beyond the reference's weights-only checkpoints
+    (reference train.py:437-462 stores only the model)."""
+    from flax import serialization as _ser
+
+    payload = {
+        "state": jax.tree.map(np.asarray, _ser.to_state_dict(state)),
+        "meta": json.dumps({
+            "model_config": model_config,
+            "transform": transform_cfg,
+            "step": int(state.step),
+            "extra": extra or {},
+            "format": "exaspim_tpu.trainstate.v1",
+        }),
+    }
+    blob = _ser.msgpack_serialize(payload)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return path
+
+
+def restore_train_state(path, state_template):
+    """Restore a full TrainState onto a freshly built template.
+
+    Returns ``(state, meta)``; the template supplies the pytree
+    structure (build it with the same model/optimizer hyperparameters).
+    """
+    from flax import serialization as _ser
+
+    with open(path, "rb") as f:
+        payload = _ser.msgpack_restore(f.read())
+    meta = json.loads(payload["meta"])
+    state = _ser.from_state_dict(state_template, payload["state"])
+    return state, meta

@@ -40,7 +40,9 @@ from exaspim_tpu.ops.metrics import (
 from exaspim_tpu.train.checkpoint import (
     checkpoint_filename,
     load_checkpoint,
+    restore_train_state,
     save_checkpoint,
+    save_train_state,
 )
 from exaspim_tpu.train.state import (
     create_train_state,
@@ -168,8 +170,15 @@ class Trainer:
 
     # -------------------------------------------------------------- run
 
-    def run(self, train_ds, val_ds):
-        """Full training run; returns the final TrainState."""
+    def run(self, train_ds, val_ds, resume_state=None):
+        """Full training run; returns the final TrainState.
+
+        ``resume_state``: path of a full-state checkpoint
+        (``latest_state.ckpt``) to continue from — params, optimizer
+        moments, and step all restore, so a preempted run resumes
+        exactly (elastic recovery; the reference restarts from weights
+        only).
+        """
         self.check_transform_cfg()
         train_loader = DataLoader(
             train_ds, self.batch_size,
@@ -189,6 +198,20 @@ class Trainer:
             seed=self.seed, warmup_steps=self.warmup_steps,
             params=self._pretrained_params,
         )
+        start_step = 0
+        if resume_state:
+            state, meta = restore_train_state(resume_state, state)
+            if meta["transform"] != self.transform.cfg:
+                raise ValueError(
+                    "resume transform cfg mismatch: "
+                    f"{meta['transform']} vs {self.transform.cfg}"
+                )
+            if meta["model_config"] != self.model.config:
+                raise ValueError(
+                    "resume model_config mismatch: "
+                    f"{meta['model_config']} vs {self.model.config}"
+                )
+            start_step = int(state.step)
         if self.mesh is not None:
             from exaspim_tpu.parallel import make_dp_train_step
 
@@ -205,12 +228,13 @@ class Trainer:
 
         from exaspim_tpu.utils.profiling import StepTimer
 
-        step = 0
+        step = start_step
         t0 = time.time()
         timer = StepTimer(
             voxels_per_step=self.batch_size * int(np.prod(patch))
         )
-        for epoch in range(self.epochs):
+        start_epoch = start_step // max(steps_per_epoch, 1)
+        for epoch in range(start_epoch, self.epochs):
             train_loader.set_epoch(epoch)
             for x, y, fg in prefetch_to_device(train_loader):
                 state, loss = train_step(state, x, y, fg)
@@ -296,6 +320,11 @@ class Trainer:
             path, state.params, self.model.config, self.transform.cfg,
             step=step, score=metrics["val_score"],
             extra={"metrics": metrics},
+        )
+        # Rolling full-state checkpoint for elastic resume.
+        save_train_state(
+            os.path.join(self.ckpt_dir, "latest_state.ckpt"), state,
+            self.model.config, self.transform.cfg,
         )
         return metrics, path
 

@@ -52,3 +52,23 @@ def test_streamed_zarr_to_zarr(tmp_path):
     )
     back = np.asarray(img_io.read(out_path))[0, 0]
     np.testing.assert_array_equal(back, direct)
+
+
+def test_streamed_with_mesh_matches_single(tmp_path):
+    from exaspim_tpu.parallel import make_mesh
+
+    t = build_transform(TCFG)
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 900, (96, 20, 18)).astype(np.uint16)
+    single = denoise_volume(
+        img, DoublePlusOne(), {}, t, slab_z=48, patch_size=16,
+        overlap=4, trim=2, batch_size=4,
+    )
+    mesh = make_mesh(2, axis="z")
+    sharded = denoise_volume(
+        img, DoublePlusOne(), {}, t, slab_z=48, patch_size=16,
+        overlap=4, trim=2, batch_size=4, mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        sharded.astype(int), single.astype(int), atol=1
+    )

@@ -167,3 +167,44 @@ def test_trainer_rejects_model_config_mismatch(tmp_path):
     )
     with pytest.raises(ValueError, match="model_config"):
         bigger.load_pretrained_weights(path)
+
+
+def test_full_state_resume(tmp_path, tiny_caches):
+    """Elastic resume: params + optimizer + step restore exactly."""
+    from exaspim_tpu.train import restore_train_state, save_train_state
+
+    train_dir, val_dir = tiny_caches
+    train_ds = CachedPatchDataset(train_dir)
+    val_ds = CachedValidateDataset(val_dir)
+    t = build_transform(TCFG)
+    trainer = Trainer(
+        tmp_path, UNet(**SMALL), t, lr=1e-3, epochs=1, batch_size=4,
+        val_every=2, seed=42, tensorboard=False, keep_mips=0,
+    )
+    state = trainer.run(train_ds, val_ds)
+    latest = os.path.join(trainer.ckpt_dir, "latest_state.ckpt")
+    assert os.path.exists(latest)
+
+    template = create_train_state(
+        UNet(**SMALL), patch_shape=(16, 16, 16), lr=1e-3,
+        total_steps=10, seed=42,
+    )
+    restored, meta = restore_train_state(latest, template)
+    assert int(restored.step) == int(state.step)
+    assert meta["transform"] == t.cfg
+    for a, b in zip(
+        __import__("jax").tree.leaves(state.params),
+        __import__("jax").tree.leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Transform mismatch must reject.
+    other = build_transform(
+        {"kind": "asinh", "params": {"offset": 0.0, "scale": 9.0}}
+    )
+    bad = Trainer(
+        tmp_path, UNet(**SMALL), other, epochs=1, tensorboard=False,
+        keep_mips=0,
+    )
+    with pytest.raises(ValueError, match="transform"):
+        bad.run(train_ds, val_ds, resume_state=latest)
