@@ -232,9 +232,9 @@ def bm4d_batch(vols, sigma, block=4, group=8, step=3, search=7,
                two_stage=True):
     """Denoise a batch of equal-shape volumes in one XLA program.
 
-    vmapped :func:`bm4d` — the precompute teacher generator's fast path:
-    batching amortizes kernel launch and keeps the VPU/MXU fed across
-    patches (single 64³ patches underutilize the chip).
+    ``lax.map`` over :func:`bm4d` — one dispatch per batch with
+    single-patch peak memory (a vmap would multiply the block-row
+    buffers by the batch size and exceed HBM).
     """
     import functools as _ft
 
@@ -242,7 +242,7 @@ def bm4d_batch(vols, sigma, block=4, group=8, step=3, search=7,
         bm4d, block=block, group=group, step=step, search=search,
         two_stage=two_stage,
     )
-    return jax.vmap(lambda v: fn(v, sigma))(jnp.asarray(vols))
+    return jax.lax.map(lambda v: fn(v, sigma), jnp.asarray(vols))
 
 
 def bm4d(vol, sigma, block=4, group=8, step=3, search=7, two_stage=True):
