@@ -163,15 +163,16 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=8, step=3, search=7,
     sz, sy, sx = sel[..., 0], sel[..., 1], sel[..., 2]
 
     # Row-major block view: rows[z, y, x, :] is the flattened B³ block
-    # starting at (z, y, x) — built from B³ dense shifted slices, so the
-    # group gather below moves whole 64-element rows instead of scalars
-    # (XLA scalar gathers serialize on TPU).
+    # starting at (z, y, x) — one patch-extraction op, so the group
+    # gather below moves whole B³-element rows instead of scalars
+    # (XLA scalar gathers serialize on TPU, and an unrolled B³-slice
+    # stack would blow up compile time).
     def block_rows(vol3):
-        slices = [
-            vol3[dz:Z - B + 1 + dz, dy:Y - B + 1 + dy, dx:X - B + 1 + dx]
-            for dz in range(B) for dy in range(B) for dx in range(B)
-        ]
-        return jnp.stack(slices, axis=-1)  # (Z-B+1, Y-B+1, X-B+1, B³)
+        return jax.lax.conv_general_dilated_patches(
+            vol3[None, ..., None], filter_shape=(B, B, B),
+            window_strides=(1, 1, 1), padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )[0]  # (Z-B+1, Y-B+1, X-B+1, B³)
 
     nrows = block_rows(noisy)
     grows = block_rows(guide)
@@ -211,20 +212,32 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=8, step=3, search=7,
         jnp.broadcast_to(wgt[:, None], sz.shape)
     )
 
-    accum = jnp.zeros_like(noisy)
-    weight = jnp.zeros_like(noisy)
-    i = 0
-    for dz in range(B):
-        for dy in range(B):
-            for dx in range(B):
-                region = (
-                    slice(dz, Z - B + 1 + dz),
-                    slice(dy, Y - B + 1 + dy),
-                    slice(dx, X - B + 1 + dx),
-                )
-                accum = accum.at[region].add(acc_rows[..., i])
-                weight = weight.at[region].add(wgt_rows)
-                i += 1
+    # Fold rows back to voxel space: out[v] = Σ_i rows[v − δᵢ][i]. A
+    # fori_loop keeps the HLO small (an unrolled B³-term sum compiles
+    # for minutes on the host-side AOT compiler).
+    deltas = jnp.asarray([
+        (dz, dy, dx)
+        for dz in range(B) for dy in range(B) for dx in range(B)
+    ], jnp.int32)
+    rz, ry, rx = rows_shape
+
+    def fold(i, carry):
+        accum, weight = carry
+        d = deltas[i]
+        cur_a = jax.lax.dynamic_slice(accum, d, (rz, ry, rx))
+        accum = jax.lax.dynamic_update_slice(
+            accum, cur_a + acc_rows[..., i], d
+        )
+        cur_w = jax.lax.dynamic_slice(weight, d, (rz, ry, rx))
+        weight = jax.lax.dynamic_update_slice(
+            weight, cur_w + wgt_rows, d
+        )
+        return accum, weight
+
+    accum, weight = jax.lax.fori_loop(
+        0, B * B * B, fold,
+        (jnp.zeros_like(noisy), jnp.zeros_like(noisy)),
+    )
     return accum / (weight + 1e-12)
 
 
