@@ -270,6 +270,14 @@ def predict(img, model, params, transform, patch_size=64, overlap=12,
             f"volume {img.shape} smaller than patch {patch_size}; "
             "use predict_patch or a smaller patch_size"
         )
+    if overlap < 2 * trim:
+        # Trimmed patches must still tile the stride or interior voxels
+        # get zero stitch weight (the reference silently produces such
+        # holes; here it is an error).
+        raise ValueError(
+            f"overlap {overlap} must be >= 2*trim ({2 * trim}) for "
+            "gap-free stitching"
+        )
 
     if int(np.prod(img.shape)) > max_device_voxels:
         return _predict_streaming(
