@@ -16,6 +16,8 @@ from exaspim_tpu.data.cache import (
 )
 from exaspim_tpu.data.loader import (
     DataLoader,
+    make_count_train_collate,
+    make_count_val_collate,
     make_train_collate,
     make_val_collate,
     prefetch_to_device,
@@ -36,6 +38,8 @@ __all__ = [
     "allocate_cache",
     "load_cache_transform",
     "make_synthetic_cache",
+    "make_count_train_collate",
+    "make_count_val_collate",
     "make_train_collate",
     "make_val_collate",
     "neurite_phantom",

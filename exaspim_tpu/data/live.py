@@ -56,6 +56,7 @@ class _Brain:
 
     @property
     def shape(self):
+        """(z, y, x) voxel shape of the brain image."""
         return tuple(self.img.shape[-3:])
 
 
@@ -160,6 +161,7 @@ class TrainDataset:
     # ---------------------------------------------------------- sampling
 
     def sample_brain(self):
+        """Uniform draw over ingested brain ids."""
         if not self.brains:
             raise RuntimeError("no brains ingested")
         ids = sorted(self.brains)
@@ -338,6 +340,7 @@ class TrainDataset:
         return np.concatenate(values)
 
     def skeleton_mask(self, brain_id, voxel):
+        """Rasterized SWC-node mask for the patch at ``voxel``."""
         brain = self.brains[brain_id]
         if brain.swc_voxels is None or not len(brain.swc_voxels):
             return None

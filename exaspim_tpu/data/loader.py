@@ -28,6 +28,8 @@ import numpy as np
 
 __all__ = [
     "DataLoader",
+    "make_count_train_collate",
+    "make_count_val_collate",
     "make_train_collate",
     "make_val_collate",
     "prefetch_to_device",
@@ -74,6 +76,37 @@ def make_val_collate(transform):
     return collate
 
 
+def make_count_train_collate(preserve_foreground=False):
+    """Count-space collate: stacking only, zero host float math.
+
+    Returns ``(raw_u16, target_u16, fg)`` batches shaped (B, D, H, W, 1);
+    the intensity transform runs inside the jitted train step instead
+    (the 1-core host otherwise becomes the training bottleneck).
+    """
+
+    def collate(items):
+        raw = np.stack([it[0] for it in items])
+        teacher = np.stack([it[1] for it in items])
+        fg = np.stack([it[2] for it in items]).astype(bool)
+        target = np.where(fg, raw, teacher) if preserve_foreground else teacher
+        return raw[..., None], target[..., None], fg[..., None]
+
+    return collate
+
+
+def make_count_val_collate():
+    """Count-space validation collate → (raw, teacher, raw_counts, fg)."""
+
+    def collate(items):
+        raw = np.stack([it[0] for it in items])
+        teacher = np.stack([it[1] for it in items])
+        counts = np.stack([it[2] for it in items])
+        fg = np.stack([it[3] for it in items]).astype(bool)
+        return raw[..., None], teacher[..., None], counts, fg[..., None]
+
+    return collate
+
+
 class DataLoader:
     """Prefetching batch loader over a map-style dataset.
 
@@ -98,6 +131,7 @@ class DataLoader:
         self.epoch = 0
 
     def set_epoch(self, epoch):
+        """Select the epoch whose deterministic shuffle to use."""
         self.epoch = int(epoch)
 
     def _order(self):

@@ -121,6 +121,7 @@ class UnsupervisedEvaluator:
         self._model = None
 
     def ingest_model(self, ckpt_path):
+        """Load the checkpoint (model + params + transform) to evaluate."""
         self._model = restore_pipeline(ckpt_path)
 
     def run(self, voxel_lists, offsets=None):

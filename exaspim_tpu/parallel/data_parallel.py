@@ -26,14 +26,18 @@ def shard_batch(mesh, batch, axis="data"):
     return jax.tree.map(put, batch)
 
 
-def make_dp_train_step(mesh, fg_weight=20.0, eps=1e-3, axis="data"):
+def make_dp_train_step(mesh, fg_weight=20.0, eps=1e-3, axis="data",
+                       transform=None):
     """Jitted data-parallel step ``(state, x, y, fg) -> (state, loss)``.
 
-    Same math as :func:`exaspim_tpu.train.state.make_train_step`; the
+    Same math as :func:`exaspim_tpu.train.state.make_train_step`
+    (including the optional on-device count→transform mapping); the
     sharding constraints split the batch across ``mesh`` and keep the
     TrainState replicated. Loss is the global batch mean.
     """
-    step = make_train_step(fg_weight=fg_weight, eps=eps, donate=False)
+    step = make_train_step(
+        fg_weight=fg_weight, eps=eps, donate=False, transform=transform
+    )
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P(axis, None, None, None, None))
 

@@ -61,15 +61,23 @@ def create_train_state(model, patch_shape=(64, 64, 64), lr=1e-3,
     )
 
 
-def make_train_step(fg_weight=20.0, eps=1e-3, donate=True):
+def make_train_step(fg_weight=20.0, eps=1e-3, donate=True,
+                    transform=None):
     """Build the jitted training step ``(state, x, y, fg) -> (state, loss)``.
 
-    ``x``/``y`` are transform-domain ``(B, D, H, W, 1)`` float32; ``fg`` a
-    boolean mask of the same shape. The state is donated so optimizer
-    update happens in place in HBM.
+    With ``transform=None``, ``x``/``y`` are transform-domain
+    ``(B, D, H, W, 1)`` float32. With a frozen transform, ``x``/``y``
+    are **raw count** batches and the intensity mapping runs on-device
+    inside the step — the host ships uint16 and does no float math
+    (essential when the host is weak). ``fg`` is a boolean mask either
+    way. The state is donated so the optimizer updates in place in HBM.
     """
 
     def step(state, x, y, fg):
+        if transform is not None:
+            x = transform.forward(x.astype(jnp.float32))
+            y = transform.forward(y.astype(jnp.float32))
+
         def loss_fn(params):
             pred = state.apply_fn({"params": params}, x)
             return signal_preserving_loss(
@@ -82,14 +90,25 @@ def make_train_step(fg_weight=20.0, eps=1e-3, donate=True):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(fg_weight=20.0, eps=1e-3):
-    """Build the jitted eval step ``(state, x, y, fg) -> (loss, pred)``."""
+def make_eval_step(fg_weight=20.0, eps=1e-3, transform=None):
+    """Build the jitted eval step ``(state, x, y, fg) -> (loss, pred)``.
+
+    With a ``transform``, inputs are count-space batches and the
+    returned prediction is inverse-mapped **uint16 counts** (ready for
+    the compression metric) — the whole validation datapath stays on
+    device.
+    """
 
     def step(state, x, y, fg):
+        if transform is not None:
+            x = transform.forward(x.astype(jnp.float32))
+            y = transform.forward(y.astype(jnp.float32))
         pred = state.apply_fn({"params": state.params}, x)
         loss = signal_preserving_loss(
             pred, y, fg, fg_weight=fg_weight, eps=eps
         )
+        if transform is not None:
+            return loss, transform.inverse(pred)
         return loss, pred
 
     return jax.jit(step)

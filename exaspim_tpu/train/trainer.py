@@ -28,8 +28,8 @@ import numpy as np
 from exaspim_tpu.compression import best_codec, compute_cratio
 from exaspim_tpu.data.loader import (
     DataLoader,
-    make_train_collate,
-    make_val_collate,
+    make_count_train_collate,
+    make_count_val_collate,
     prefetch_to_device,
 )
 from exaspim_tpu.ops.metrics import (
@@ -180,13 +180,15 @@ class Trainer:
         only).
         """
         self.check_transform_cfg()
+        # Count-space batches: the host only stacks uint16; the frozen
+        # transform runs inside the jitted steps on device.
         train_loader = DataLoader(
             train_ds, self.batch_size,
-            make_train_collate(self.transform, self.preserve_foreground),
+            make_count_train_collate(self.preserve_foreground),
             shuffle=True, seed=self.seed,
         )
         val_loader = DataLoader(
-            val_ds, self.batch_size, make_val_collate(self.transform)
+            val_ds, self.batch_size, make_count_val_collate()
         )
         steps_per_epoch = len(train_loader)
         total_steps = max(1, self.epochs * steps_per_epoch)
@@ -216,11 +218,16 @@ class Trainer:
             from exaspim_tpu.parallel import make_dp_train_step
 
             train_step = make_dp_train_step(
-                self.mesh, fg_weight=self.fg_weight
+                self.mesh, fg_weight=self.fg_weight,
+                transform=self.transform,
             )
         else:
-            train_step = make_train_step(self.fg_weight)
-        eval_step = make_eval_step(self.fg_weight)
+            train_step = make_train_step(
+                self.fg_weight, transform=self.transform
+            )
+        eval_step = make_eval_step(
+            self.fg_weight, transform=self.transform
+        )
         self.save_config({
             "total_steps": total_steps,
             "steps_per_epoch": steps_per_epoch,
@@ -274,6 +281,7 @@ class Trainer:
         for x, y, counts, fg in val_loader:
             loss, pred = eval_step(state, x, y, fg)
             losses.append(float(loss))
+            # eval_step inverse-maps on device: pred is uint16 counts.
             pred = np.asarray(pred)[..., 0]
             y_np = np.asarray(y)[..., 0]
             fg_np = np.asarray(fg)[..., 0].astype(bool)
@@ -281,8 +289,8 @@ class Trainer:
                 if (self.max_val_examples is not None
                         and n_seen >= self.max_val_examples):
                     break
-                pred_counts = self.transform.inverse(pred[i])
-                teacher_counts = self.transform.inverse(y_np[i])
+                pred_counts = pred[i]
+                teacher_counts = y_np[i]
                 raw_counts = np.asarray(counts[i])
                 cratios.append(
                     compute_cratio(pred_counts, self.codec)
@@ -308,6 +316,7 @@ class Trainer:
         return result
 
     def validate_and_checkpoint(self, state, eval_step, val_loader, step):
+        """Validate, log scalars, and write the scored checkpoint."""
         metrics = self.validate(state, eval_step, val_loader, step)
         for k, v in metrics.items():
             self._scalar(k, v, step)

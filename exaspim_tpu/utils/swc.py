@@ -72,6 +72,7 @@ class Reader:
         raise ValueError(f"unsupported SWC source: {source!r}")
 
     def read_from_file(self, path):
+        """Parse a single ``.swc`` file → ``{name: swc_dict}``."""
         with open(path) as f:
             content = [ln.strip() for ln in f]
         d = self.parse(content)
@@ -79,6 +80,7 @@ class Reader:
         return {name: d} if d is not None else {}
 
     def read_from_zip(self, zip_path):
+        """Parse every ``.swc`` inside a zip archive."""
         out = {}
         with zipfile.ZipFile(zip_path) as zf:
             for info in zf.infolist():

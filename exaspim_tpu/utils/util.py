@@ -65,16 +65,19 @@ def read_txt(path):
 
 
 def write_txt(path, lines):
+    """Write an iterable of lines to a text file."""
     with open(path, "w") as f:
         f.write("\n".join(str(ln) for ln in lines) + "\n")
 
 
 def read_json(path):
+    """Load a JSON file."""
     with open(path) as f:
         return json.load(f)
 
 
 def write_json(path, obj, **kwargs):
+    """Write ``obj`` as pretty sorted JSON (default=str for paths)."""
     kwargs.setdefault("indent", 2)
     kwargs.setdefault("sort_keys", True)
     with open(path, "w") as f:
@@ -82,6 +85,7 @@ def write_json(path, obj, **kwargs):
 
 
 def is_cloud_path(path):
+    """True for ``gs://`` / ``s3://`` URLs."""
     return str(path).startswith(("gs://", "s3://"))
 
 

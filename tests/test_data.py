@@ -161,3 +161,50 @@ def test_synthetic_dataset_deterministic_and_cacheable(tmp_path):
     np.testing.assert_array_equal(cr, r0a)
     np.testing.assert_array_equal(ct, t0a)
     np.testing.assert_array_equal(cf, f0a)
+
+
+def test_count_collates_are_stack_only():
+    from exaspim_tpu.data import (
+        make_count_train_collate,
+        make_count_val_collate,
+    )
+
+    raw = np.full((2, 2, 2), 100, np.uint16)
+    teacher = np.full((2, 2, 2), 50, np.uint16)
+    fg = np.zeros((2, 2, 2), bool)
+    fg[0] = True
+    x, y, fgb = make_count_train_collate(True)([(raw, teacher, fg)])
+    assert x.dtype == np.uint16 and y.dtype == np.uint16
+    assert y[0, 0, 0, 0, 0] == 100 and y[0, 1, 0, 0, 0] == 50
+    x2, y2, counts, fgb2 = make_count_val_collate()(
+        [(raw, teacher, raw, fg)]
+    )
+    np.testing.assert_array_equal(x2[..., 0], counts)
+
+
+def test_count_space_train_step_matches_transform_domain():
+    import jax.numpy as jnp
+
+    from exaspim_tpu.models import UNet
+    from exaspim_tpu.train import create_train_state, make_train_step
+
+    t = build_transform(TCFG)
+    model = UNet(width_multiplier=0.25)
+    sa = create_train_state(model, patch_shape=(8, 8, 8), seed=0)
+    sb = create_train_state(model, patch_shape=(8, 8, 8), seed=0)
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 3000, (2, 8, 8, 8, 1)).astype(np.uint16)
+    teacher = rng.integers(0, 3000, (2, 8, 8, 8, 1)).astype(np.uint16)
+    fg = np.zeros(raw.shape, bool)
+
+    host = make_train_step(fg_weight=0.0, donate=False)
+    dev = make_train_step(fg_weight=0.0, donate=False, transform=t)
+    x = jnp.asarray(t.forward(raw[..., 0].astype(np.float32)))[..., None]
+    y = jnp.asarray(
+        t.forward(teacher[..., 0].astype(np.float32))
+    )[..., None]
+    sa, loss_a = host(sa, x, y, jnp.asarray(fg))
+    sb, loss_b = dev(
+        sb, jnp.asarray(raw), jnp.asarray(teacher), jnp.asarray(fg)
+    )
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
