@@ -131,3 +131,49 @@ def test_visualize_patches_grid(caches, tmp_path):
         "--cache", train_dir, "--out", out, "--n", "2",
     ])
     assert os.path.exists(out)
+
+
+def test_estimate_background_offsets(tmp_path):
+    import estimate_background_offsets as off_script
+
+    from exaspim_tpu.utils import img_io
+
+    vol = (np.full((32, 32, 32), 500, np.uint16))
+    vol[:4] = 0  # zero-padding region
+    path = os.path.join(tmp_path, "brain.ome.zarr")
+    img_io.write_ome_zarr(vol, path, chunks=(1, 1, 16, 16, 16),
+                          n_levels=2)
+    cfg = os.path.join(tmp_path, "brains.json")
+    json.dump([{"brain_id": "b1", "img": path}], open(cfg, "w"))
+    out = os.path.join(tmp_path, "offsets.json")
+    off_script.main([
+        "--config", cfg, "--out", out, "--level", "1",
+        "--percentile", "0.5",
+    ])
+    offsets = json.load(open(out))
+    assert abs(offsets["b1"] - 500) < 200  # windowed mean blurs the edge
+
+
+def test_visualize_swc_masks_script(tmp_path):
+    import visualize_swc_masks as swc_script
+
+    from exaspim_tpu.utils import img_io
+
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 500, (48, 48, 48)).astype(np.uint16)
+    img_path = os.path.join(tmp_path, "vol.zarr")
+    img_io.write_zarr(vol, img_path, chunks=(1, 1, 16, 16, 16))
+    swc_dir = os.path.join(tmp_path, "swcs")
+    os.makedirs(swc_dir)
+    lines = ["# OFFSET 0 0 0"]
+    for i in range(1, 20):
+        # physical coords so that voxels land mid-volume
+        lines.append(f"{i} 3 {i * 0.748 + 7.48} 17.952 20.0 1.0 {i - 1}")
+    with open(os.path.join(swc_dir, "n.swc"), "w") as f:
+        f.write("\n".join(lines))
+    out = os.path.join(tmp_path, "masks.png")
+    swc_script.main([
+        "--img", img_path, "--swc", swc_dir, "--out", out,
+        "--n", "2", "--patch", "16", "16", "16",
+    ])
+    assert os.path.exists(out)
