@@ -82,9 +82,12 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--train-cache", nargs="+", required=True)
-    p.add_argument("--val-cache", nargs="+", required=True)
-    p.add_argument("--out", required=True)
+    p.add_argument("--config-json",
+                   help="TrainConfig JSON; when given it drives the "
+                        "whole run and other flags are ignored")
+    p.add_argument("--train-cache", nargs="+")
+    p.add_argument("--val-cache", nargs="+")
+    p.add_argument("--out")
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -99,6 +102,22 @@ def main(argv=None):
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch across all local devices")
     args = p.parse_args(argv)
+    if args.config_json:
+        from exaspim_tpu.config import TrainConfig
+
+        c = TrainConfig.from_json(args.config_json)
+        return train(
+            c.train_cache, c.val_cache, c.output_dir, epochs=c.epochs,
+            batch_size=c.batch_size, lr=c.lr, fg_weight=c.fg_weight,
+            preserve_foreground=c.preserve_foreground,
+            val_every=c.val_every, seed=c.seed,
+            width_multiplier=c.width_multiplier, resume=c.resume,
+            bf16=c.bf16, checkpoint_weights=c.checkpoint_weights,
+            data_parallel=c.data_parallel,
+        )
+    if not (args.train_cache and args.val_cache and args.out):
+        p.error("--train-cache/--val-cache/--out (or --config-json) "
+                "are required")
     train(
         args.train_cache, args.val_cache, args.out, epochs=args.epochs,
         batch_size=args.batch_size, lr=args.lr, fg_weight=args.fg_weight,
@@ -106,6 +125,7 @@ def main(argv=None):
         val_every=args.val_every, seed=args.seed,
         width_multiplier=args.width_multiplier, resume=args.resume,
         bf16=not args.no_bf16, max_val_examples=args.max_val_examples,
+        data_parallel=args.data_parallel,
     )
 
 
