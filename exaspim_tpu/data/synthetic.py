@@ -37,21 +37,30 @@ def neurite_phantom(shape=(128, 128, 128), n_tubes=12, radius_range=(1.0, 3.0),
     rng = np.random.default_rng(seed)
     clean = np.zeros(shape, dtype=np.float32)
     fg = np.zeros(shape, dtype=bool)
-    zz, yy, xx = np.meshgrid(
-        *[np.arange(s, dtype=np.float32) for s in shape], indexing="ij"
-    )
-    pts = np.stack([zz, yy, xx], axis=-1)
+    # Broadcastable 1D axes — no materialized (Z, Y, X, 3) point grid,
+    # which dominates runtime/memory for whole-volume phantoms.
+    zc = np.arange(shape[0], dtype=np.float32)[:, None, None]
+    yc = np.arange(shape[1], dtype=np.float32)[None, :, None]
+    xc = np.arange(shape[2], dtype=np.float32)[None, None, :]
+    r2_grid = zc**2 + yc**2 + xc**2
     for _ in range(n_tubes):
         p0 = rng.uniform(0, shape, size=3).astype(np.float32)
         direction = rng.normal(size=3).astype(np.float32)
         direction /= np.linalg.norm(direction) + 1e-9
         radius = rng.uniform(*radius_range)
         value = rng.uniform(*intensity_range)
-        # Distance from each voxel to the infinite line through p0.
-        rel = pts - p0
-        along = rel @ direction
-        perp2 = np.sum(rel * rel, axis=-1) - along**2
-        tube = perp2 <= radius**2
+        # Distance from each voxel to the infinite line through p0:
+        # |rel|² − (rel·d)², expanded so every term broadcasts from 1D.
+        dz, dy, dx = direction
+        along = (
+            (zc - p0[0]) * dz + (yc - p0[1]) * dy + (xc - p0[2]) * dx
+        )
+        rel2 = (
+            r2_grid
+            - 2.0 * (zc * p0[0] + yc * p0[1] + xc * p0[2])
+            + float(p0 @ p0)
+        )
+        tube = rel2 - along**2 <= radius**2
         clean[tube] += value
         fg |= tube
     clean = ndimage.gaussian_filter(clean, sigma=psf_sigma)
