@@ -10,10 +10,12 @@ pure-JAX/XLA implementation designed for the MXU:
   over all window offsets followed by ``lax.top_k``; no data-dependent
   control flow.
 * **Transforms as small matmuls**: the separable 3D DCT over block axes
-  and the 1D Haar/DCT across the group axis are einsums against tiny
+  and the 1D DCT across the group axis are einsums against tiny
   orthonormal matrices — XLA batches thousands of them onto the MXU.
-* **Aggregation as scatter-add**: overlap-add of filtered groups uses
-  ``Array.at[].add`` with precomputed index grids.
+* **Row-wise data movement**: group blocks gather as whole B³-element
+  rows from a conv-extracted patch view, and overlap-add aggregation
+  scatters rows then folds them back with dense shifted adds — scalar
+  gathers/scatters (which serialize on TPU) never appear.
 * Two-pass structure: stage 1 hard-thresholding produces the basic
   estimate; stage 2 re-matches on the estimate and applies empirical
   Wiener shrinkage (the classical algorithm's structure, reimplemented
@@ -97,8 +99,8 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=8, step=3, search=7,
     offset, the per-reference block distance field is a shifted squared
     difference box-summed by ``reduce_window`` (dense VPU work, no
     per-reference gathers); ``top_k`` over the offset axis picks each
-    group, and group voxels come back through one large advanced-indexing
-    gather.
+    group, and group voxels come back as whole block-rows from a
+    conv-extracted patch view.
     """
     Z, Y, X = noisy.shape
     B, K, W = block, group, search
@@ -106,10 +108,9 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=8, step=3, search=7,
     noisy = noisy.astype(jnp.float32)
     guide = guide.astype(jnp.float32)
 
-    # Reflect-pad so every candidate block around any in-bounds reference
-    # start is valid in padded coordinates.
+    # Reflect-pad the matching guide so every shifted copy around any
+    # in-bounds reference is valid in padded coordinates.
     pad = half
-    npad = jnp.pad(noisy, pad, mode="reflect")
     gpad = jnp.pad(guide, pad, mode="reflect")
 
     zs, ys, xs = (_ref_grid(d, B, step) for d in (Z, Y, X))
