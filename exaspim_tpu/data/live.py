@@ -77,7 +77,8 @@ class TrainDataset:
                  min_segmentation_volume=200, bright_k=6.0,
                  max_resample_attempts=4, check_incoherence=True,
                  preserve_foreground=False, seed=42,
-                 anisotropy=(0.748, 0.748, 1.0)):
+                 anisotropy=(0.748, 0.748, 1.0),
+                 samples_per_epoch=1024):
         self.patch_shape = tuple(patch_shape)
         self.sigma_bm4d = float(sigma_bm4d)
         self.foreground_rate = float(foreground_rate)
@@ -90,6 +91,7 @@ class TrainDataset:
         self.check_incoherence = bool(check_incoherence)
         self.preserve_foreground = bool(preserve_foreground)
         self.anisotropy = tuple(anisotropy)
+        self.samples_per_epoch = int(samples_per_epoch)
         self.brains = {}
         self.reseed(seed)
 
@@ -145,7 +147,9 @@ class TrainDataset:
     # ----------------------------------------------------------- access
 
     def __len__(self):
-        return 2**31 - 1  # stochastic stream
+        # Nominal epoch length for loaders; sampling is stochastic, so
+        # this only sets the shuffle-permutation size and epoch cadence.
+        return self.samples_per_epoch
 
     def __getitem__(self, index):
         raw, teacher, fg, _, _ = self.sample_example()

@@ -154,3 +154,20 @@ def test_init_datasets_factory_with_calibration():
     assert transform is not None
     assert transform.cfg["params"]["offset"] > 0  # calibrated black point
     assert len(val) == 1
+
+
+def test_live_dataset_with_dataloader():
+    """The live sampler must drive the DataLoader without a huge
+    permutation (nominal epoch length, stochastic items)."""
+    from exaspim_tpu.data import DataLoader, make_count_train_collate
+
+    ds = _dataset(sigma_bm4d=20.0, samples_per_epoch=6)
+    ds.ingest_brain("b1", _brain_volume())
+    loader = DataLoader(
+        ds, 3, make_count_train_collate(), shuffle=True, seed=0
+    )
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2
+    x, y, fg = batches[0]
+    assert x.shape == (3, *PATCH, 1) and x.dtype == np.uint16
