@@ -41,7 +41,7 @@ from exaspim_tpu.utils.plots import plot_mips  # noqa: E402
 def evaluate(ckpt, img_path, out_dir, crop_center=None, crop_shape=None,
              neuroglancer_xyz=None, offset=None, clevel=5,
              write_output=None, patch_size=64, overlap=12, trim=5,
-             batch_size=32):
+             batch_size=32, streaming_slab=None):
     """Run the full evaluation; returns the results dict."""
     os.makedirs(out_dir, exist_ok=True)
     if os.path.isdir(ckpt) and not ckpt.endswith(".ckpt"):
@@ -75,10 +75,19 @@ def evaluate(ckpt, img_path, out_dir, crop_center=None, crop_shape=None,
         transform, img=None if offset is not None else raw,
         offset=offset,
     )
-    denoised = predict(
-        raw, model, params, vt, patch_size=patch_size, overlap=overlap,
-        trim=trim, batch_size=batch_size,
-    )
+    if streaming_slab:
+        from exaspim_tpu.pipeline import denoise_volume
+
+        denoised = denoise_volume(
+            raw, model, params, vt, slab_z=streaming_slab,
+            patch_size=patch_size, overlap=overlap, trim=trim,
+            batch_size=batch_size,
+        )
+    else:
+        denoised = predict(
+            raw, model, params, vt, patch_size=patch_size,
+            overlap=overlap, trim=trim, batch_size=batch_size,
+        )
 
     codec = best_codec(clevel=clevel)
     cr_raw = compute_cratio(raw, codec)
@@ -129,6 +138,9 @@ def main(argv=None):
     p.add_argument("--offset", type=float)
     p.add_argument("--clevel", type=int, default=5)
     p.add_argument("--write-output", help="OME-Zarr destination")
+    p.add_argument("--streaming-slab", type=int,
+                   help="denoise in z-slabs of this size (for crops "
+                        "beyond device memory)")
     args = p.parse_args(argv)
     evaluate(
         args.ckpt_dir, args.img, args.out,
@@ -137,6 +149,7 @@ def main(argv=None):
         neuroglancer_xyz=args.neuroglancer_xyz,
         offset=args.offset, clevel=args.clevel,
         write_output=args.write_output,
+        streaming_slab=args.streaming_slab,
     )
 
 
