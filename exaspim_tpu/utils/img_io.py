@@ -76,10 +76,15 @@ def read(path, dataset=None):
         return _read_tiff(p)
     if lower.endswith(".n5") or ".n5/" in lower:
         return _open_ts({"driver": "n5", "kvstore": _kvstore(p)})
-    if _is_neuroglancer_precomputed(p):
-        return _open_ts({
-            "driver": "neuroglancer_precomputed", "kvstore": _kvstore(p),
+    if _is_neuroglancer_precomputed(p) or "precomputed://" in p:
+        vol = _open_ts({
+            "driver": "neuroglancer_precomputed",
+            "kvstore": _kvstore(p.replace("precomputed://", "")),
         })
+        # Neuroglancer stores (x, y, z, channel); normalize to the
+        # package's (z, y, x) lazy view (reference img_util.py:102-131
+        # permutes the same way).
+        return vol[..., 0].T
     # zarr: try v3 then v2.
     try:
         return _open_ts({"driver": "zarr3", "kvstore": _kvstore(p)})
