@@ -179,6 +179,18 @@ class UNet(nn.Module):
     trilinear: bool = True
     base_channels: Sequence[int] = (32, 64, 128, 256, 512)
     dtype: jnp.dtype = jnp.float32
+    #: "zeros" starts the residual net as the identity (best for
+    #: teacher-supervised training); "normal" is needed for
+    #: self-supervised (N2V) training, where a zero head blocks all
+    #: interior gradients at init.
+    head_init: str = "zeros"
+
+    def _head_kernel_init(self):
+        if self.head_init == "zeros":
+            return nn.initializers.zeros
+        if self.head_init == "normal":
+            return nn.initializers.lecun_normal()
+        raise ValueError(f"unknown head_init {self.head_init!r}")
 
     def _channels(self):
         chans = [int(c * self.width_multiplier) for c in self.base_channels]
@@ -198,6 +210,7 @@ class UNet(nn.Module):
             "width_multiplier": self.width_multiplier,
             "trilinear": self.trilinear,
             "base_channels": list(self.base_channels),
+            "head_init": self.head_init,
         }
 
     @nn.compact
@@ -220,7 +233,7 @@ class UNet(nn.Module):
         # an untrained model is a no-op denoiser (stable early training).
         logits = nn.Conv(
             1, (1, 1, 1), dtype=dt, param_dtype=jnp.float32,
-            kernel_init=nn.initializers.zeros,
+            kernel_init=self._head_kernel_init(),
         )(x)
         return xin + logits.astype(xin.dtype)
 
@@ -259,7 +272,7 @@ class N2V2UNet(UNet):
         x = jnp.pad(x, pads)
         logits = nn.Conv(
             1, (1, 1, 1), dtype=dt, param_dtype=jnp.float32,
-            kernel_init=nn.initializers.zeros,
+            kernel_init=self._head_kernel_init(),
         )(x)
         return xin + logits.astype(xin.dtype)
 

@@ -16,6 +16,7 @@ from exaspim_tpu.train.state import (
     make_eval_step,
     make_train_step,
 )
+from exaspim_tpu.train.n2v import make_blind_spots, make_n2v_train_step
 from exaspim_tpu.train.trainer import Trainer
 
 __all__ = [
@@ -26,6 +27,8 @@ __all__ = [
     "create_train_state",
     "find_best_checkpoint",
     "load_checkpoint",
+    "make_blind_spots",
+    "make_n2v_train_step",
     "make_eval_step",
     "make_train_step",
     "restore_pipeline",

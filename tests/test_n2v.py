@@ -1,0 +1,104 @@
+"""Noise2Void blind-spot training tests.
+
+Verifies the self-supervised mechanics: mask sampling, neighbor
+substitution, masked-only loss, gradient flow into every layer (the
+reason ``head_init="normal"`` exists), and a training loop that runs
+and reduces loss. Full N2V convergence takes thousands of steps and is
+exercised offline, not in unit tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exaspim_tpu.models import N2V2UNet
+from exaspim_tpu.train import create_train_state
+from exaspim_tpu.train.n2v import (
+    _substitute,
+    make_blind_spots,
+    make_n2v_train_step,
+)
+from exaspim_tpu.transforms import build_transform
+
+TCFG = {"kind": "linear", "params": {"mn": 0.0, "mx": 1000.0}}
+
+
+def test_blind_spot_sampling():
+    mask, shifts = make_blind_spots(
+        jax.random.key(0), (4, 16, 16, 16), mask_rate=0.01
+    )
+    rate = float(jnp.mean(mask))
+    assert 0.004 < rate < 0.02
+    assert shifts.shape == (4, 3)
+    assert not bool(jnp.any(jnp.all(shifts == 0, axis=1)))
+
+
+def test_substitution_only_touches_masked_voxels():
+    x = jnp.arange(2 * 4 * 4 * 4, dtype=jnp.float32).reshape(2, 4, 4, 4)
+    mask, shifts = make_blind_spots(
+        jax.random.key(1), x.shape, mask_rate=0.2
+    )
+    out = _substitute(x, mask, shifts)
+    same = np.asarray(out == x)
+    np.testing.assert_array_equal(same[~np.asarray(mask)], True)
+
+
+def test_gradients_reach_every_layer_with_normal_head():
+    t = build_transform(TCFG)
+    model = N2V2UNet(width_multiplier=0.25, head_init="normal")
+    state = create_train_state(
+        model, patch_shape=(16, 16, 16), lr=1e-3, total_steps=10
+    )
+    step = make_n2v_train_step(transform=t, mask_rate=0.05, donate=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        (500 + rng.normal(0, 80, (4, 16, 16, 16, 1)))
+        .clip(0, 65535).astype(np.uint16)
+    )
+
+    def loss_fn(params):
+        s = state.replace(params=params)
+        _, loss = step(s, x, jax.random.key(3))
+        return loss
+
+    # Use the step itself once, then check per-layer gradient norms via
+    # the same masked objective.
+    from exaspim_tpu.losses import charbonnier
+    from exaspim_tpu.train.n2v import make_blind_spots as mbs
+
+    xf = t.forward(x.astype(jnp.float32))[..., 0]
+    mask, shifts = mbs(jax.random.key(3), xf.shape, 0.05)
+    x_in = _substitute(xf, mask, shifts)[..., None]
+
+    def obj(params):
+        pred = state.apply_fn({"params": params}, x_in)[..., 0]
+        m = mask.astype(jnp.float32)
+        return jnp.sum(charbonnier(pred - xf) * m) / jnp.sum(m)
+
+    grads = jax.grad(obj)(state.params)
+    for name, sub in grads.items():
+        norm = float(jnp.sqrt(sum(
+            jnp.sum(g**2) for g in jax.tree.leaves(sub)
+        )))
+        assert norm > 0, f"zero gradient into {name}"
+
+
+def test_n2v_training_loop_reduces_loss():
+    t = build_transform(TCFG)
+    model = N2V2UNet(width_multiplier=0.25, head_init="normal")
+    state = create_train_state(
+        model, patch_shape=(16, 16, 16), lr=5e-3, total_steps=60
+    )
+    step = make_n2v_train_step(transform=t, mask_rate=0.05, donate=False)
+    rng = np.random.default_rng(0)
+    base = jax.random.key(42)
+    losses = []
+    for i in range(60):
+        x = jnp.asarray(
+            (500 + rng.normal(0, 80, (4, 16, 16, 16, 1)))
+            .clip(0, 65535).astype(np.uint16)
+        )
+        state, loss = step(state, x, jax.random.fold_in(base, i))
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert np.isfinite(losses).all()
