@@ -17,13 +17,22 @@ from exaspim_tpu.compression.cratio import (
     compute_cratio,
     compute_cratio_2d,
 )
-from exaspim_tpu.compression.jpeg import JpegSliceCodec, PngSliceCodec
+from exaspim_tpu.compression.jpeg import (
+    Jpeg2000SliceCodec,
+    JpegSliceCodec,
+    PngSliceCodec,
+)
+from exaspim_tpu.compression.jxl import JxlSliceCodec
+from exaspim_tpu.compression.jxl import available as jxl_available
 from exaspim_tpu.compression.proxy import cratio_proxy
 
 __all__ = [
     "BloscCodec",
+    "Jpeg2000SliceCodec",
     "JpegSliceCodec",
+    "JxlSliceCodec",
     "PngSliceCodec",
+    "jxl_available",
     "ZstdShuffleCodec",
     "best_codec",
     "compute_cratio",

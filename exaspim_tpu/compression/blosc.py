@@ -89,7 +89,6 @@ class BloscCodec:
         self._lib = _load_blosc()
 
     def encode(self, buf):
-        """Compress a contiguous buffer → bytes."""
         """Compresses a numpy array (or bytes); returns ``bytes``."""
         if isinstance(buf, np.ndarray):
             arr = np.ascontiguousarray(buf)
@@ -108,7 +107,6 @@ class BloscCodec:
         return dest.raw[:n]
 
     def decode(self, data):
-        """Decompress bytes → raw byte string."""
         """Decompresses ``bytes``; returns ``bytes``."""
         data = bytes(data)
         nbytes = ctypes.c_size_t()

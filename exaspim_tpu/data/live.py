@@ -17,6 +17,7 @@ in the reference (reference scripts/precompute.py:73-89).
 
 from __future__ import annotations
 
+import concurrent.futures as _futures
 import logging
 
 import numpy as np
@@ -222,33 +223,66 @@ class TrainDataset:
         v = node + jitter
         return self._clamp_center(brain_id, v)
 
-    def sample_segmentation_voxel(self, brain_id, attempts=16):
-        """Candidate centers with enough labeled volume
-        (reference data_handling.py:600-652)."""
-        brain = self.brains[brain_id]
-        for _ in range(attempts):
-            v = self.sample_interior_voxel(brain_id)
-            patch = self._read_volume_patch(
-                brain.segmentation, v, self.patch_shape
-            )
-            if patch is None:
-                continue
-            if int((patch > 0).sum()) >= self.min_segmentation_volume:
-                return v
+    def _first_accepted_candidate(self, brain_id, read_fn, accept_fn,
+                                  attempts):
+        """Draw ``attempts`` candidate centers, read them concurrently,
+        return the first (in submission order) whose patch passes
+        ``accept_fn``.
+
+        The RNG draws happen up front on the calling thread and acceptance
+        is checked in submission order, so the result is deterministic
+        regardless of IO completion order — the reference's
+        submission-order threaded prefetch contract
+        (reference data_handling.py:620-651). Against remote (cloud)
+        volumes this overlaps the network latency of all candidates.
+        """
+        centers = [self.sample_interior_voxel(brain_id)
+                   for _ in range(attempts)]
+        with _futures.ThreadPoolExecutor(
+            max_workers=min(16, attempts)
+        ) as pool:
+            reads = [pool.submit(read_fn, v) for v in centers]
+            for v, fut in zip(centers, reads):
+                patch = fut.result()
+                if patch is not None and accept_fn(patch):
+                    pool.shutdown(wait=False, cancel_futures=True)
+                    return v
         return None
+
+    def sample_segmentation_voxel(self, brain_id, attempts=16):
+        """Candidate centers containing at least one *single* segment of
+        ``min_segmentation_volume`` voxels (reference
+        data_handling.py:600-652; the volume test at :637 is per-segment,
+        not total labeled voxels)."""
+        brain = self.brains[brain_id]
+
+        def has_big_segment(patch):
+            labeled = patch[patch > 0]
+            if labeled.size < self.min_segmentation_volume:
+                return False
+            _, seg_sizes = np.unique(labeled, return_counts=True)
+            return int(seg_sizes.max()) >= self.min_segmentation_volume
+
+        return self._first_accepted_candidate(
+            brain_id,
+            lambda v: self._read_volume_patch(
+                brain.segmentation, v, self.patch_shape
+            ),
+            has_big_segment,
+            attempts,
+        )
 
     def sample_bright_voxel(self, brain_id, attempts=16):
         """Candidate centers with robust-bright occupancy
         (reference data_handling.py:653-715)."""
-        for _ in range(attempts):
-            v = self.sample_interior_voxel(brain_id)
-            raw = self.read_counts(brain_id, v)
-            if raw is None:
-                continue
-            mask = make_foreground_mask(raw, k=self.bright_k, dilate=0)
-            if mask.mean() > 0.001:
-                return v
-        return None
+        return self._first_accepted_candidate(
+            brain_id,
+            lambda v: self.read_counts(brain_id, v),
+            lambda raw: make_foreground_mask(
+                raw, k=self.bright_k, dilate=0
+            ).mean() > 0.001,
+            attempts,
+        )
 
     def _clamp_center(self, brain_id, voxel):
         shape = self.brains[brain_id].shape

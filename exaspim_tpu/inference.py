@@ -316,12 +316,14 @@ def _predict_streaming(img, model, params, transform, patch_size, overlap,
                        trim, batch_size, max_device_voxels, return_float):
     """Stream super-tiles with a patch-wide halo for huge volumes.
 
-    Each super-tile is denoised independently with ``patch_size`` halo
-    context on interior faces; only the core region is written out, so
-    every output voxel sees the same patch neighborhood it would in a
-    single-pass run (full overlap-average context).
+    Each super-tile is denoised independently with a ``>= patch_size``
+    halo on interior faces, and the tile's low edge is aligned to the
+    global stride grid, so the tile-local patch grid coincides with the
+    single-pass grid wherever it can touch the core — every core voxel
+    sees exactly the overlap-average context of a single-pass run.
     """
     halo = patch_size
+    stride = patch_size - overlap
     # Choose a core tile size along z that fits the budget.
     zyx = img.shape
     plane = zyx[1] * zyx[2]
@@ -330,6 +332,7 @@ def _predict_streaming(img, model, params, transform, patch_size, overlap,
     for z0 in range(0, zyx[0], core_z):
         z1 = min(z0 + core_z, zyx[0])
         lo = max(z0 - halo, 0)
+        lo -= lo % stride  # align the tile grid with the global grid
         hi = min(z1 + halo, zyx[0])
         block = img[lo:hi]
         res = predict(

@@ -250,9 +250,7 @@ def bm4d_batch(vols, sigma, block=4, group=8, step=3, search=7,
     single-patch peak memory (a vmap would multiply the block-row
     buffers by the batch size and exceed HBM).
     """
-    import functools as _ft
-
-    fn = _ft.partial(
+    fn = functools.partial(
         bm4d, block=block, group=group, step=step, search=search,
         two_stage=two_stage,
     )

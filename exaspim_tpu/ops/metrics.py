@@ -28,65 +28,78 @@ DEFAULT_CHECKPOINT_WEIGHTS = {
 }
 
 
-def make_foreground_mask(raw, k=6.0, dilate=1):
-    """Robust intensity foreground mask: median + k*1.4826*MAD, dilated.
+def robust_brightness_threshold(img, k=6.0):
+    """Median + ``k`` robust standard deviations (1.4826 * MAD).
 
-    Insensitive to the bright tail; dilation includes neurite boundaries
-    (reference metrics.py:32-61).
+    The MAD-based scale estimate ignores the bright tail, so the threshold
+    tracks the background/noise floor even when neurites are present.
+    Shared by the foreground mask and the false-bright detector.
     """
-    raw = np.asarray(raw, dtype=np.float32)
-    med = np.median(raw)
-    mad = np.median(np.abs(raw - med)) + 1e-6
-    mask = raw > (med + k * 1.4826 * mad)
-    if dilate > 0:
-        mask = ndimage.binary_dilation(mask, iterations=dilate)
-    return mask
+    flat = np.asarray(img, dtype=np.float64).ravel()
+    center = np.median(flat)
+    scale = 1.4826 * np.median(np.abs(flat - center)) + 1e-6
+    return float(center + k * scale)
+
+
+def make_foreground_mask(raw, k=6.0, dilate=1):
+    """Robust intensity foreground mask, dilated to cover neurite borders.
+
+    Same selection semantics as reference metrics.py:32-61 (median +
+    k*1.4826*MAD threshold, binary dilation).
+    """
+    mask = np.asarray(raw) > robust_brightness_threshold(raw, k=k)
+    return ndimage.binary_dilation(mask, iterations=dilate) if dilate else mask
+
+
+def _pearson(x, y):
+    """Pearson r of two 1-D samples; NaN when undefined (n<2 or flat)."""
+    if x.size < 2:
+        return np.nan
+    xc = x - x.mean()
+    yc = y - y.mean()
+    denom = np.sqrt((xc @ xc) * (yc @ yc))
+    if denom < 1e-6 * x.size:
+        return np.nan
+    return float((xc @ yc) / denom)
 
 
 def local_autocorr(raw, mask, lag=2):
     """Mean lag-``lag`` Pearson autocorrelation of masked voxels, per axis.
 
     Real neurites are PSF-blurred and stay correlated over 2-3 voxels;
-    blocky artifacts decorrelate by lag 2 (measured separation: artifacts
-    <= 0.30, neurites >= 0.53; reference metrics.py:64-112). Returns 1.0
-    (maximally coherent) when unmeasurable so callers never reject a segment
+    blocky artifacts decorrelate by lag 2 (same decision semantics as
+    reference metrics.py:64-112; measured separation there: artifacts
+    <= 0.30, neurites >= 0.53). Returns 1.0 (maximally coherent) when no
+    axis yields a defined correlation, so callers never reject a segment
     on an undefined score.
     """
-    raw = np.asarray(raw, dtype=np.float64)
-    mask = np.asarray(mask, dtype=bool)
-    vals = []
-    for ax in range(raw.ndim):
-        lo = [slice(None)] * raw.ndim
-        hi = [slice(None)] * raw.ndim
-        lo[ax] = slice(0, -lag)
-        hi[ax] = slice(lag, None)
-        pair_ok = mask[tuple(lo)] & mask[tuple(hi)]
-        if pair_ok.sum() < 2:
-            continue
-        a = raw[tuple(lo)][pair_ok]
-        b = raw[tuple(hi)][pair_ok]
-        if a.std() < 1e-6 or b.std() < 1e-6:
-            continue
-        vals.append(float(np.corrcoef(a, b)[0, 1]))
-    return float(np.mean(vals)) if vals else 1.0
+    vol = np.asarray(raw, dtype=np.float64)
+    keep = np.asarray(mask, dtype=bool)
+    per_axis = []
+    for ax in range(vol.ndim):
+        v = np.moveaxis(vol, ax, 0)
+        k = np.moveaxis(keep, ax, 0)
+        both = k[:-lag] & k[lag:]
+        per_axis.append(_pearson(v[:-lag][both], v[lag:][both]))
+    if not per_axis or np.all(np.isnan(per_axis)):
+        return 1.0
+    return float(np.nanmean(per_axis))
 
 
 def highfreq_energy_fraction(raw, mask, smooth=None, smooth_sigma=1.0):
-    """Fraction of masked variance living in the Gaussian-residual band.
+    """Fraction of masked variance living above a Gaussian low-pass.
 
-    ``var(raw - smooth(raw)) / var(raw)`` over masked voxels. Salt-and-pepper
-    artifacts land at ~0.6-0.8; smooth neurites at ~0.0-0.25 (reference
-    metrics.py:115-151). Returns 0.0 when the masked variance is degenerate.
+    Salt-and-pepper artifacts land at ~0.6-0.8; smooth neurites at
+    ~0.0-0.25 (same decision semantics as reference metrics.py:115-151).
+    Returns 0.0 when the masked variance is degenerate.
     """
-    raw = np.asarray(raw, dtype=np.float64)
-    mask = np.asarray(mask, dtype=bool)
-    if smooth is None:
-        smooth = ndimage.gaussian_filter(raw, sigma=smooth_sigma)
-    v = raw[mask]
-    if v.var() < 1e-12:
+    vol = np.asarray(raw, dtype=np.float64)
+    sel = np.asarray(mask, dtype=bool)
+    low = ndimage.gaussian_filter(vol, sigma=smooth_sigma) if smooth is None else smooth
+    total = np.var(vol[sel])
+    if not np.isfinite(total) or total < 1e-12:
         return 0.0
-    hf = (raw - smooth)[mask]
-    return float(hf.var() / v.var())
+    return float(np.var(vol[sel] - np.asarray(low)[sel]) / total)
 
 
 def make_segmentation_mask(labels, dilate=0):
@@ -184,14 +197,10 @@ def false_bright_rate(pred, raw, fg_mask, k=6.0):
     *raw* image (reference metrics.py:352-381).
     """
     pred = np.asarray(pred, dtype=np.float64)
-    raw = np.asarray(raw, dtype=np.float64)
     bg = ~np.asarray(fg_mask, dtype=bool)
     if not bg.any():
         return 0.0
-    med = np.median(raw)
-    mad = np.median(np.abs(raw - med)) + 1e-6
-    thr = med + k * 1.4826 * mad
-    return float(np.mean(pred[bg] > thr))
+    return float(np.mean(pred[bg] > robust_brightness_threshold(raw, k=k)))
 
 
 def evaluate_example(pred, raw, target, fg_mask, pct=0.1):

@@ -3,9 +3,14 @@
 Uniform-filter SSIM matching the reference formula (reference
 img_util.py:953-1003): window 16 mean filters for local moments,
 C1=(0.01*L)², C2=(0.03*L)², with the reference's denominator guard.
-The reference promotes to float64 to avoid uint16 overflow; here inputs are
-cast to float32 once up front (counts ≤ 65535 are exact in float32 and all
-moments are means), which keeps the whole computation on the VPU.
+The reference promotes to float64 to avoid uint16 overflow; float64 is
+slow on the TPU VPU, so instead both images are shifted by a shared global
+mean before the moment computation. Variance and covariance are shift
+invariant, and the shift keeps E[x²] small enough that the
+``E[x²] − µ²`` cancellation stays benign in float32 (µ² for bright
+uint16 data reaches ~4e9, past float32's 24-bit mantissa; after the
+shift it is on the order of the local contrast squared). The luminance
+term uses the true means (shifted means + offset).
 """
 
 from __future__ import annotations
@@ -33,12 +38,17 @@ def ssim3d(img1, img2, data_range=None, window_size=16):
             jnp.max(img1) - jnp.min(img1), jnp.max(img2) - jnp.min(img2)
         )
 
-    mu1 = uniform_filter(img1, window_size)
-    mu2 = uniform_filter(img2, window_size)
+    shift = 0.5 * (jnp.mean(img1) + jnp.mean(img2))
+    a = img1 - shift
+    b = img2 - shift
 
-    sigma1_sq = uniform_filter(img1 * img1, window_size) - mu1 * mu1
-    sigma2_sq = uniform_filter(img2 * img2, window_size) - mu2 * mu2
-    sigma12 = uniform_filter(img1 * img2, window_size) - mu1 * mu2
+    mu1s = uniform_filter(a, window_size)
+    mu2s = uniform_filter(b, window_size)
+    sigma1_sq = uniform_filter(a * a, window_size) - mu1s * mu1s
+    sigma2_sq = uniform_filter(b * b, window_size) - mu2s * mu2s
+    sigma12 = uniform_filter(a * b, window_size) - mu1s * mu2s
+    mu1 = mu1s + shift
+    mu2 = mu2s + shift
 
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2

@@ -85,6 +85,14 @@ def predict_sharded(img, model, params, transform, mesh, patch_size=64,
     img = np.asarray(img)
     if img.ndim != 3:
         raise ValueError(f"expected 3D volume, got {img.shape}")
+    if overlap < 2 * trim:
+        # Same gap-free stitching contract as inference.predict: trimmed
+        # patches must still tile the stride or interior voxels get zero
+        # stitch weight.
+        raise ValueError(
+            f"overlap {overlap} must be >= 2*trim ({2 * trim}) for "
+            "gap-free stitching"
+        )
     (axis_name,) = mesh.axis_names
     n = mesh.devices.size
     Z, Y, X = img.shape

@@ -32,11 +32,12 @@ from exaspim_tpu.utils import img_io
 __all__ = ["denoise_volume"]
 
 
-def _slab_plan(Z, slab_z, halo):
+def _slab_plan(Z, slab_z, halo, stride):
     plan = []
     for z0 in range(0, Z, slab_z):
         z1 = min(z0 + slab_z, Z)
         lo = max(z0 - halo, 0)
+        lo -= lo % stride  # align the slab grid with the global grid
         hi = min(z1 + halo, Z)
         plan.append((z0, z1, lo, hi))
     return plan
@@ -62,7 +63,7 @@ def denoise_volume(img, model, params, transform, output_path=None,
     Z, Y, X = shape
     halo = patch_size
     slab_z = max(int(slab_z), patch_size)
-    plan = _slab_plan(Z, slab_z, halo)
+    plan = _slab_plan(Z, slab_z, halo, patch_size - overlap)
 
     out_arr = None
     out_store = None
@@ -132,7 +133,11 @@ def denoise_volume(img, model, params, transform, output_path=None,
 
             n = mesh.devices.size
             zb = block.shape[0]
-            pad = (-zb) % n
+            # predict_sharded needs each chip's z-shard to hold at least
+            # one full patch; pad trailing/undersized slabs up to the
+            # larger of n*patch_size and the next multiple of n.
+            target = max(n * patch_size, zb + ((-zb) % n))
+            pad = target - zb
             if pad:
                 block = np.pad(
                     block, [(0, pad), (0, 0), (0, 0)], mode="edge"

@@ -279,6 +279,9 @@ class Trainer:
         n_seen = 0
         n_mips = 0
         for x, y, counts, fg in val_loader:
+            if (self.max_val_examples is not None
+                    and n_seen >= self.max_val_examples):
+                break
             loss, pred = eval_step(state, x, y, fg)
             losses.append(float(loss))
             # eval_step inverse-maps on device: pred is uint16 counts.

@@ -124,3 +124,62 @@ def test_png_slice_codec_lossless():
     codec = PngSliceCodec()
     out = codec.decode(codec.encode(img[0]))
     np.testing.assert_array_equal(out, img[0])
+
+
+def test_jpegxl_slice_codec_uint16_faithful():
+    from exaspim_tpu.compression import (
+        JxlSliceCodec,
+        compress_and_decompress_2d,
+        jxl_available,
+    )
+
+    if not jxl_available():
+        pytest.skip("libjxl not present on this system")
+    img = _poisson_volume((4, 64, 64), lam=2000, offset=500, seed=7)
+    # Lossless mode must round-trip the full 16-bit range exactly.
+    lossless = JxlSliceCodec(lossless=True)
+    np.testing.assert_array_equal(
+        lossless.decode(lossless.encode(img[0])), img[0]
+    )
+    # Lossy mode keeps uint16 dtype and stays in the right ballpark.
+    lossy = JxlSliceCodec(distance=1.0)
+    out, ratio = compress_and_decompress_2d(
+        img, lossy, patch_shape=(4, 64, 64)
+    )
+    assert out.dtype == np.uint16 and out.shape == img.shape
+    assert ratio > 4.0
+    assert abs(float(out.mean()) - float(img.mean())) < 0.1 * img.mean()
+
+
+def test_jpegxl_codec_is_thread_safe_stateless():
+    from concurrent.futures import ThreadPoolExecutor
+
+    from exaspim_tpu.compression import JxlSliceCodec, jxl_available
+
+    if not jxl_available():
+        pytest.skip("libjxl not present on this system")
+    rng = np.random.default_rng(3)
+    slices = [
+        (rng.poisson(100, (32 + 8 * i, 40)) * (i + 1)).astype(np.uint16)
+        for i in range(8)
+    ]
+    codec = JxlSliceCodec(lossless=True)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        encs = list(pool.map(codec.encode, slices))
+        outs = list(pool.map(codec.decode, encs))
+    for sl, out in zip(slices, outs):
+        np.testing.assert_array_equal(out, sl)
+
+
+def test_jpeg2000_slice_codec_uint16():
+    from exaspim_tpu.compression import Jpeg2000SliceCodec
+
+    img = _poisson_volume((2, 64, 64), lam=2000, offset=500, seed=8)
+    lossy = Jpeg2000SliceCodec(quality=20)
+    out = lossy.decode(lossy.encode(img[0]))
+    assert out.dtype == np.uint16 and out.shape == img[0].shape
+    assert abs(float(out.mean()) - float(img[0].mean())) < 0.1 * img.mean()
+    lossless = Jpeg2000SliceCodec(quality=None)
+    np.testing.assert_array_equal(
+        lossless.decode(lossless.encode(img[0])), img[0]
+    )

@@ -171,3 +171,49 @@ def test_live_dataset_with_dataloader():
     assert len(batches) == 2
     x, y, fg = batches[0]
     assert x.shape == (3, *PATCH, 1) and x.dtype == np.uint16
+
+
+def test_segmentation_sampler_requires_single_large_segment():
+    # A patch full of tiny scattered segments must be rejected even when
+    # the *total* labeled voxel count clears the threshold (reference
+    # data_handling.py:637 counts per-segment volume).
+    shape = (48, 48, 48)
+    img = _brain_volume(shape)
+    rng = np.random.default_rng(11)
+    tiny = np.zeros(shape, np.uint32)
+    coords = rng.integers(0, 48, size=(400, 3))
+    tiny[coords[:, 0], coords[:, 1], coords[:, 2]] = (
+        np.arange(1, 401, dtype=np.uint32)
+    )  # 400 distinct 1-voxel segments: total 400 >> 50, max segment 1
+    ds = _dataset(min_segmentation_volume=50)
+    ds.ingest_brain("tiny", img, segmentation=tiny)
+    assert ds.sample_segmentation_voxel("tiny", attempts=8) is None
+
+    big = np.zeros(shape, np.uint32)
+    big[20:28, 20:28, 20:28] = 1  # one 512-voxel segment
+    ds2 = _dataset(min_segmentation_volume=50)
+    ds2.ingest_brain("big", img, segmentation=big)
+    assert ds2.sample_segmentation_voxel("big", attempts=64) is not None
+
+
+def test_candidate_prefetch_is_submission_order_deterministic():
+    import time
+
+    img = _brain_volume()
+    seg = np.zeros(img.shape, np.uint32)
+    seg[8:40, 8:40, 8:40] = 1
+    draws = []
+    for _ in range(2):
+        ds = _dataset(min_segmentation_volume=10)
+        ds.ingest_brain("b", img, segmentation=seg)
+        orig = ds._read_volume_patch
+
+        def slow_read(vol, v, shape, _orig=orig):
+            time.sleep(np.random.default_rng(abs(hash(v)) % 2**32)
+                       .uniform(0, 0.01))
+            return _orig(vol, v, shape)
+
+        ds._read_volume_patch = slow_read
+        draws.append([ds.sample_segmentation_voxel("b", attempts=8)
+                      for _ in range(5)])
+    assert draws[0] == draws[1]
