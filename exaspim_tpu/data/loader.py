@@ -107,6 +107,20 @@ def make_count_val_collate():
     return collate
 
 
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    """Pickle the dataset once per worker process, like the reference's
+    ``_worker_init`` (reference data_handling.py:1326-1345)."""
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_fetch(indices):
+    return [_WORKER_DATASET[int(i)] for i in indices]
+
+
 class DataLoader:
     """Prefetching batch loader over a map-style dataset.
 
@@ -115,12 +129,20 @@ class DataLoader:
     ``prefetch`` bounds the producer queue, ``drop_last=False`` keeps the
     final partial batch (validation semantics, reference
     data_handling.py:1361-1384).
+
+    ``num_workers=0`` (default) uses the in-process producer thread —
+    right for this host (1 CPU) and for datasets that generate on
+    device. ``num_workers>0`` fans item fetches out to a process pool
+    whose workers each unpickle the dataset once (reference
+    data_handling.py:1326-1368); batches are collated in the parent in
+    submission order, so the stream is deterministic regardless of
+    worker timing. The dataset must be picklable in that mode.
     """
 
     _STOP = object()
 
     def __init__(self, dataset, batch_size, collate, shuffle=False,
-                 seed=0, prefetch=2, drop_last=False):
+                 seed=0, prefetch=2, drop_last=False, num_workers=0):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.collate = collate
@@ -128,7 +150,32 @@ class DataLoader:
         self.seed = seed
         self.prefetch = int(prefetch)
         self.drop_last = drop_last
+        self.num_workers = int(num_workers)
         self.epoch = 0
+        self._pool = None
+
+    def _executor(self):
+        if self._pool is None:
+            import concurrent.futures as futures
+
+            self._pool = futures.ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                initializer=_worker_init,
+                initargs=(self.dataset,),
+            )
+        return self._pool
+
+    def close(self):
+        """Shut down worker processes (no-op in thread mode)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def set_epoch(self, epoch):
         """Select the epoch whose deterministic shuffle to use."""
@@ -149,8 +196,36 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _batches(self, order):
+        for lo in range(0, len(order), self.batch_size):
+            idx = order[lo:lo + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            yield idx
+
+    def _iter_pool(self, order):
+        import collections
+
+        pool = self._executor()
+        pending = collections.deque()
+        batches = self._batches(order)
+        in_flight = max(1, self.prefetch) + self.num_workers
+        try:
+            for idx in batches:
+                pending.append(pool.submit(_worker_fetch, list(idx)))
+                if len(pending) >= in_flight:
+                    yield self.collate(pending.popleft().result())
+            while pending:
+                yield self.collate(pending.popleft().result())
+        finally:
+            for f in pending:
+                f.cancel()
+
     def __iter__(self):
         order = self._order()
+        if self.num_workers > 0:
+            yield from self._iter_pool(order)
+            return
         q = queue.Queue(maxsize=max(1, self.prefetch))
 
         def producer():

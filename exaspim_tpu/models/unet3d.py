@@ -27,6 +27,7 @@ reference's ``model.config`` (reference unet3d.py:93-100, train.py:453).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Sequence
 
@@ -60,9 +61,11 @@ class DoubleConv(nn.Module):
                 channels, (3, 3, 3), padding="SAME", use_bias=False,
                 dtype=self.dtype, param_dtype=jnp.float32,
             )(x)
-            # GroupNorm statistics in f32 regardless of compute dtype.
+            # GroupNorm statistics in f32 regardless of compute dtype;
+            # epsilon matches torch.nn.GroupNorm (reference blocks).
             x = nn.GroupNorm(
                 num_groups=_norm_groups(channels), dtype=jnp.float32,
+                epsilon=1e-5,
             )(x.astype(jnp.float32)).astype(self.dtype)
             x = nn.leaky_relu(x, negative_slope=0.01)
         return x
@@ -120,12 +123,51 @@ def max_blur_pool3d(x, dtype=jnp.float32):
     return blur_pool3d(x, stride=2, dtype=dtype)
 
 
-def resize_trilinear(x, target_spatial):
-    """Trilinear resize of NDHWC volume to ``target_spatial`` (D,H,W)."""
-    b, _, _, _, c = x.shape
-    return jax.image.resize(
-        x, (b, *target_spatial, c), method="trilinear"
-    )
+@functools.lru_cache(maxsize=128)
+def _linear_resize_matrix(n_in, n_out, align_corners):
+    """(n_out, n_in) 1-D linear-interpolation matrix as a host constant.
+
+    ``align_corners=False`` uses half-pixel centers with edge clamp —
+    numerically identical to ``jax.image.resize(method="trilinear")``.
+    ``align_corners=True`` matches ``torch.nn.Upsample(align_corners=True)``
+    (the reference's upsampler, reference unet3d.py:289-291).
+    """
+    import numpy as np
+
+    if n_in == 1:
+        return np.ones((n_out, 1), np.float32)
+    if align_corners:
+        src = np.arange(n_out) * (n_in - 1) / max(n_out - 1, 1)
+    else:
+        src = np.clip(
+            (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5, 0, n_in - 1
+        )
+    i0 = np.minimum(np.floor(src).astype(int), n_in - 2)
+    w = (src - i0).astype(np.float32)
+    mat = np.zeros((n_out, n_in), np.float32)
+    mat[np.arange(n_out), i0] = 1.0 - w
+    mat[np.arange(n_out), i0 + 1] = w
+    return mat
+
+
+def resize_trilinear(x, target_spatial, align_corners=False):
+    """Trilinear resize of an NDHWC volume to ``target_spatial`` (D,H,W).
+
+    Trilinear interpolation is separable, so this is three small dense
+    matmuls (one per spatial axis) — they run on the MXU in the compute
+    dtype, unlike the gather-based ``jax.image.resize`` lowering.
+    """
+    mats = [
+        jnp.asarray(
+            _linear_resize_matrix(x.shape[ax + 1], t, bool(align_corners)),
+            dtype=x.dtype,
+        )
+        for ax, t in enumerate(target_spatial)
+    ]
+    x = jnp.einsum("ij,bjhwc->bihwc", mats[0], x)
+    x = jnp.einsum("ij,bdjwc->bdiwc", mats[1], x)
+    x = jnp.einsum("ij,bdhjc->bdhic", mats[2], x)
+    return x
 
 
 class Up(nn.Module):
@@ -140,12 +182,13 @@ class Up(nn.Module):
     trilinear: bool = True
     skip: bool = True
     dtype: jnp.dtype = jnp.float32
+    align_corners: bool = False
 
     @nn.compact
     def __call__(self, x, skip_x=None):
         if self.trilinear:
             target = tuple(2 * s for s in x.shape[1:4])
-            x = resize_trilinear(x, target)
+            x = resize_trilinear(x, target, self.align_corners)
         else:
             x = nn.ConvTranspose(
                 x.shape[-1] // 2, (2, 2, 2), strides=(2, 2, 2),
@@ -184,6 +227,11 @@ class UNet(nn.Module):
     #: self-supervised (N2V) training, where a zero head blocks all
     #: interior gradients at init.
     head_init: str = "zeros"
+    #: Upsampling grid convention. False = half-pixel centers (the
+    #: jax.image.resize convention, production default); True matches
+    #: the reference's torch Upsample(align_corners=True) exactly (used
+    #: by the torch↔Flax parity oracle).
+    align_corners: bool = False
 
     def _head_kernel_init(self):
         if self.head_init == "zeros":
@@ -211,6 +259,7 @@ class UNet(nn.Module):
             "trilinear": self.trilinear,
             "base_channels": list(self.base_channels),
             "head_init": self.head_init,
+            "align_corners": self.align_corners,
         }
 
     @nn.compact
@@ -225,10 +274,11 @@ class UNet(nn.Module):
         s3 = DoubleConv(c3, dtype=dt)(max_pool3d(s2))
         s4 = DoubleConv(c4, dtype=dt)(max_pool3d(s3))
         x = DoubleConv(c5 // factor, dtype=dt)(max_pool3d(s4))
-        x = Up(c4 // factor, self.trilinear, dtype=dt)(x, s4)
-        x = Up(c3 // factor, self.trilinear, dtype=dt)(x, s3)
-        x = Up(c2 // factor, self.trilinear, dtype=dt)(x, s2)
-        x = Up(c1, self.trilinear, dtype=dt)(x, s1)
+        ac = self.align_corners
+        x = Up(c4 // factor, self.trilinear, dtype=dt, align_corners=ac)(x, s4)
+        x = Up(c3 // factor, self.trilinear, dtype=dt, align_corners=ac)(x, s3)
+        x = Up(c2 // factor, self.trilinear, dtype=dt, align_corners=ac)(x, s2)
+        x = Up(c1, self.trilinear, dtype=dt, align_corners=ac)(x, s1)
         # Zero-init head: the residual net starts as the identity map, so
         # an untrained model is a no-op denoiser (stable early training).
         logits = nn.Conv(
@@ -258,11 +308,12 @@ class N2V2UNet(UNet):
         s3 = DoubleConv(c3, dtype=dt)(max_blur_pool3d(s2, dtype=dt))
         s4 = DoubleConv(c4, dtype=dt)(max_blur_pool3d(s3, dtype=dt))
         x = DoubleConv(c5 // factor, dtype=dt)(max_blur_pool3d(s4, dtype=dt))
-        x = Up(c4 // factor, self.trilinear, dtype=dt)(x, s4)
-        x = Up(c3 // factor, self.trilinear, dtype=dt)(x, s3)
-        x = Up(c2 // factor, self.trilinear, dtype=dt)(x, s2)
+        ac = self.align_corners
+        x = Up(c4 // factor, self.trilinear, dtype=dt, align_corners=ac)(x, s4)
+        x = Up(c3 // factor, self.trilinear, dtype=dt, align_corners=ac)(x, s3)
+        x = Up(c2 // factor, self.trilinear, dtype=dt, align_corners=ac)(x, s2)
         # Final upsample without the s1 skip (reference unet3d.py:538-571).
-        x = Up(c1, self.trilinear, skip=False, dtype=dt)(x, None)
+        x = Up(c1, self.trilinear, skip=False, dtype=dt, align_corners=ac)(x, None)
         # Re-pad to input spatial size if rounding shrank it.
         pads = [(0, 0)]
         for axis in range(1, 4):

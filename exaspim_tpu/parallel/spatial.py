@@ -28,10 +28,14 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+P_spec = P  # un-shadowed alias (P doubles as "patch" in kernel-local code)
+
 from exaspim_tpu.inference import (
     _model_apply,
+    _parity_canvas,
     generate_patch_starts,
     tiled_accumulate,
+    trim_weight_mask,
 )
 
 __all__ = ["predict_sharded", "plan_shards"]
@@ -98,41 +102,198 @@ def predict_sharded(img, model, params, transform, mesh, patch_size=64,
     Z, Y, X = img.shape
     halo = patch_size
 
-    local_starts, global_starts, n_max = plan_shards(
-        Z, n, patch_size, overlap, img.shape
-    )
-    n_pad = (-n_max) % batch_size
-    if n_pad:
-        local_starts = np.concatenate(
-            [local_starts, local_starts[:, -1:].repeat(n_pad, 1)], axis=1
-        )
-        global_starts = np.concatenate(
-            [global_starts, global_starts[:, -1:].repeat(n_pad, 1)], axis=1
-        )
-
-    # Patches may overhang the volume in y/x (trailing grid) — pad once.
-    pad_y = max(int(global_starts[..., 1].max()) + patch_size - Y, 0)
-    pad_x = max(int(global_starts[..., 2].max()) + patch_size - X, 0)
-    x_t = transform.forward(img.astype(np.float32))
-    x_t = np.pad(x_t, [(0, 0), (0, pad_y), (0, pad_x)])
-
+    stride = patch_size - overlap
     apply_fn = _model_apply(model)
-    program = _sharded_program(
-        apply_fn, mesh, axis_name, x_t.shape, img.shape, patch_size,
-        batch_size, trim, local_starts.shape[1], halo,
-    )
     vol_sh = NamedSharding(mesh, P(axis_name, None, None))
     st_sh = NamedSharding(mesh, P(axis_name, None, None))
-    out = program(
-        params,
-        jax.device_put(jnp.asarray(x_t), vol_sh),
-        jax.device_put(jnp.asarray(local_starts), st_sh),
-        jax.device_put(jnp.asarray(global_starts), st_sh),
-    )
+
+    if patch_size <= 2 * stride:
+        # Dense parity-canvas stitch (no scatter in the HLO) — the same
+        # trick as the single-chip path (inference._parity_canvas),
+        # shifted per shard by a dynamic canvas offset.
+        (base, offsets, extra_z, canvas_shape, grid_dims,
+         pad_y, pad_x) = _plan_grid(
+            Z, n, patch_size, overlap, img.shape
+        )
+        x_t = transform.forward(img.astype(np.float32))
+        x_t = np.pad(x_t, [(0, 0), (0, pad_y), (0, pad_x)])
+        n_grid = len(base)
+        n_pad = (-n_grid) % batch_size
+        if n_pad:
+            base = np.concatenate(
+                [base, np.repeat(base[-1:], n_pad, axis=0)]
+            )
+        program = _sharded_program_canvas(
+            apply_fn, mesh, axis_name, img.shape, patch_size, stride,
+            batch_size, trim, halo, int(extra_z), canvas_shape,
+            grid_dims, tuple(base.shape),
+        )
+        off_sh = NamedSharding(mesh, P(axis_name, None))
+        out = program(
+            params,
+            jax.device_put(jnp.asarray(x_t), vol_sh),
+            jnp.asarray(base),
+            jax.device_put(jnp.asarray(offsets), off_sh),
+        )
+    else:
+        local_starts, global_starts, n_max = plan_shards(
+            Z, n, patch_size, overlap, img.shape
+        )
+        n_pad = (-n_max) % batch_size
+        if n_pad:
+            local_starts = np.concatenate(
+                [local_starts, local_starts[:, -1:].repeat(n_pad, 1)],
+                axis=1,
+            )
+            global_starts = np.concatenate(
+                [global_starts, global_starts[:, -1:].repeat(n_pad, 1)],
+                axis=1,
+            )
+
+        # Patches may overhang the volume in y/x (trailing grid) — pad once.
+        pad_y = max(int(global_starts[..., 1].max()) + patch_size - Y, 0)
+        pad_x = max(int(global_starts[..., 2].max()) + patch_size - X, 0)
+        x_t = transform.forward(img.astype(np.float32))
+        x_t = np.pad(x_t, [(0, 0), (0, pad_y), (0, pad_x)])
+
+        program = _sharded_program(
+            apply_fn, mesh, axis_name, x_t.shape, img.shape, patch_size,
+            batch_size, trim, local_starts.shape[1], halo,
+        )
+        out = program(
+            params,
+            jax.device_put(jnp.asarray(x_t), vol_sh),
+            jax.device_put(jnp.asarray(local_starts), st_sh),
+            jax.device_put(jnp.asarray(global_starts), st_sh),
+        )
     out = np.asarray(out)[:, :Y, :X]
     if return_float:
         return transform.inverse_float(out)
     return transform.inverse(out)
+
+
+def _plan_grid(Z, n_shards, patch_size, overlap, global_shape):
+    """Host-side plan for the parity-canvas sharded stitch.
+
+    Every shard evaluates the same NUMBER of patches on the same
+    stride-uniform local grid (an SPMD requirement); only three
+    per-shard scalars vary, shipped as data:
+
+    ``loc0``  z of the first patch in haloed-slab coordinates,
+    ``gz0``   global z of the canvas origin (for boundary-aware trim),
+    ``ccs``   canvas z where this shard's core slab starts.
+
+    Shards whose real patch range is shorter than the widest shard
+    extend it with *virtual* grid rows past their core; those land
+    strictly outside the core slice (first virtual row starts at
+    global z ≥ core_hi), so their garbage predictions and weights are
+    cropped away. ``extra_z`` zero-padding keeps their reads in bounds.
+    """
+    P, stride, halo = patch_size, patch_size - overlap, patch_size
+    if Z % n_shards:
+        raise ValueError(f"z={Z} not divisible by {n_shards} shards")
+    core = Z // n_shards
+    if core < P:
+        raise ValueError(f"per-chip slab {core} smaller than patch {P}")
+    y_grid = np.arange(0, max(global_shape[1] - P + stride, 1), stride)
+    x_grid = np.arange(0, max(global_shape[2] - P + stride, 1), stride)
+
+    k0s, k1s = [], []
+    for s in range(n_shards):
+        lo, hi = s * core, (s + 1) * core
+        k0s.append(max(0, -((lo - P + 1) // -stride)))  # min k: k*stride > lo-P
+        k1s.append((hi - 1) // stride)                  # max k: k*stride < hi
+    nz_max = max(k1 - k0 + 1 for k0, k1 in zip(k0s, k1s))
+
+    offsets = np.zeros((n_shards, 3), np.int32)
+    max_read = 0
+    for s, k0 in enumerate(k0s):
+        lo = s * core
+        loc0 = k0 * stride - lo + halo
+        offsets[s] = (loc0, k0 * stride, lo - k0 * stride)
+        max_read = max(max_read, loc0 + (nz_max - 1) * stride + P)
+    extra_z = max(0, max_read - (core + 2 * halo))
+
+    base = np.stack(
+        np.meshgrid(
+            np.arange(nz_max) * stride, y_grid, x_grid, indexing="ij"
+        ),
+        axis=-1,
+    ).reshape(-1, 3).astype(np.int32)
+    canvas_shape = (
+        (nz_max - 1) * stride + P,
+        int(y_grid[-1]) + P,
+        int(x_grid[-1]) + P,
+    )
+    pad_y = canvas_shape[1] - global_shape[1]
+    pad_x = canvas_shape[2] - global_shape[2]
+    grid_dims = (nz_max, len(y_grid), len(x_grid))
+    return base, offsets, extra_z, canvas_shape, grid_dims, pad_y, pad_x
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_program_canvas(apply_fn, mesh, axis_name, orig_shape, patch,
+                            stride, batch, trim, halo, extra_z,
+                            canvas_shape, grid_dims, base_shape):
+    n_dev = mesh.devices.size
+    P = patch
+    n_grid = int(np.prod(grid_dims))
+
+    def local_fn(params, slab, base, offs):
+        slab, offs = slab[0], offs[0]
+        core = slab.shape[0]
+        up = [(i, i + 1) for i in range(n_dev - 1)]     # send down
+        down = [(i + 1, i) for i in range(n_dev - 1)]   # send up
+        from_above = jax.lax.ppermute(slab[-halo:], axis_name, up)
+        from_below = jax.lax.ppermute(slab[:halo], axis_name, down)
+        ext = jnp.concatenate([from_above, slab, from_below], axis=0)
+        if extra_z:
+            ext = jnp.pad(ext, [(0, extra_z), (0, 0), (0, 0)])
+
+        zoff = jnp.stack([offs[0], 0, 0]).astype(jnp.int32)
+        goff = jnp.stack([offs[1], 0, 0]).astype(jnp.int32)
+        sb = base.reshape(base.shape[0] // batch, batch, 3)
+
+        def fwd(batch_base):
+            patches = jax.vmap(
+                lambda st: jax.lax.dynamic_slice(ext, st + zoff, (P, P, P))
+            )(batch_base)
+            pred = apply_fn(params, patches[..., None])[..., 0]
+            masks = jax.vmap(
+                lambda g: trim_weight_mask(g + goff, P, trim, orig_shape)
+            )(batch_base)
+            return pred.astype(jnp.float32) * masks, masks
+
+        preds, masks = jax.lax.map(fwd, sb)
+        preds = preds.reshape(-1, P, P, P)[:n_grid]
+        masks = masks.reshape(-1, P, P, P)[:n_grid]
+        accum = _parity_canvas(preds, grid_dims, stride, P, canvas_shape)
+        wgt = _parity_canvas(masks, grid_dims, stride, P, canvas_shape)
+        ccs = (offs[2], jnp.int32(0), jnp.int32(0))
+        core_shape = (core, canvas_shape[1], canvas_shape[2])
+        acc_c = jax.lax.dynamic_slice(accum, ccs, core_shape)
+        wgt_c = jax.lax.dynamic_slice(wgt, ccs, core_shape)
+        return (acc_c / (wgt_c + 1e-8))[None]
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P_spec(),
+            P_spec(axis_name, None, None),
+            P_spec(),
+            P_spec(axis_name, None),
+        ),
+        out_specs=P_spec(axis_name, None, None),
+    )
+
+    def run(params, vol, base, offs):
+        z, y, x = vol.shape
+        vol = vol.reshape(n_dev, z // n_dev, y, x)
+        out = fn(params, vol, base, offs)
+        return out.reshape(z, y, x)
+
+    return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=16)

@@ -12,6 +12,7 @@ from exaspim_tpu.utils.img_io import (
     write_ome_zarr,
     write_zarr,
 )
+from exaspim_tpu.utils import cloud
 from exaspim_tpu.utils.swc import ANISOTROPY, Reader, to_voxels
 from exaspim_tpu.utils.util import (
     is_cloud_path,
@@ -31,6 +32,7 @@ __all__ = [
     "ANISOTROPY",
     "Reader",
     "as_5d",
+    "cloud",
     "downsample_windowed_mean",
     "get_ome_zarr_level_transform",
     "get_patch",

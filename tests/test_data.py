@@ -208,3 +208,40 @@ def test_count_space_train_step_matches_transform_domain():
         sb, jnp.asarray(raw), jnp.asarray(teacher), jnp.asarray(fg)
     )
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+
+
+class _IndexDataset:
+    """Picklable toy dataset for process-pool loader tests."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        base = np.full((2, 2, 2), i, np.float32)
+        return base, base + 1, base > 0.5
+
+
+def test_loader_process_pool_matches_thread_mode():
+    from exaspim_tpu.data.loader import DataLoader
+
+    def collate(items):
+        return np.stack([it[0] for it in items])
+
+    ds = _IndexDataset(13)
+    kw = dict(batch_size=4, collate=collate, shuffle=True, seed=3)
+    thread_loader = DataLoader(ds, **kw)
+    pool_loader = DataLoader(ds, num_workers=2, **kw)
+    try:
+        for epoch in (0, 1):
+            thread_loader.set_epoch(epoch)
+            pool_loader.set_epoch(epoch)
+            got_t = list(thread_loader)
+            got_p = list(pool_loader)
+            assert len(got_t) == len(got_p) == 4
+            for a, b in zip(got_t, got_p):
+                np.testing.assert_array_equal(a, b)
+    finally:
+        pool_loader.close()
