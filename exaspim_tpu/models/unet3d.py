@@ -61,12 +61,14 @@ class DoubleConv(nn.Module):
                 channels, (3, 3, 3), padding="SAME", use_bias=False,
                 dtype=self.dtype, param_dtype=jnp.float32,
             )(x)
-            # GroupNorm statistics in f32 regardless of compute dtype;
-            # epsilon matches torch.nn.GroupNorm (reference blocks).
+            # Flax computes GroupNorm mean/var in float32 internally even
+            # under a bf16 compute dtype, so no explicit f32 round-trip is
+            # needed — that cast pair cost 2 full-tensor HBM passes per
+            # block. Epsilon matches torch.nn.GroupNorm (reference blocks).
             x = nn.GroupNorm(
-                num_groups=_norm_groups(channels), dtype=jnp.float32,
-                epsilon=1e-5,
-            )(x.astype(jnp.float32)).astype(self.dtype)
+                num_groups=_norm_groups(channels), dtype=self.dtype,
+                param_dtype=jnp.float32, epsilon=1e-5,
+            )(x)
             x = nn.leaky_relu(x, negative_slope=0.01)
         return x
 
@@ -134,6 +136,8 @@ def _linear_resize_matrix(n_in, n_out, align_corners):
     """
     import numpy as np
 
+    if n_in == 0 or n_out == 0:
+        return np.zeros((n_out, n_in), np.float32)
     if n_in == 1:
         return np.ones((n_out, 1), np.float32)
     if align_corners:
