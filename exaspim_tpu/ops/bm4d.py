@@ -86,7 +86,7 @@ def _box_sum(x, size):
     jax.jit,
     static_argnames=("block", "group", "step", "search", "mode"),
 )
-def bm4d_stage(noisy, guide, sigma, block=4, group=8, step=3, search=7,
+def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
                mode="hard"):
     """One BM4D pass over ``noisy``; groups are matched on ``guide``.
 
@@ -242,7 +242,7 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=8, step=3, search=7,
     return accum / (weight + 1e-12)
 
 
-def bm4d_batch(vols, sigma, block=4, group=8, step=3, search=7,
+def bm4d_batch(vols, sigma, block=4, group=16, step=3, search=9,
                two_stage=True):
     """Denoise a batch of equal-shape volumes in one XLA program.
 
@@ -257,7 +257,7 @@ def bm4d_batch(vols, sigma, block=4, group=8, step=3, search=7,
     return jax.lax.map(lambda v: fn(v, sigma), jnp.asarray(vols))
 
 
-def bm4d(vol, sigma, block=4, group=8, step=3, search=7, two_stage=True):
+def bm4d(vol, sigma, block=4, group=16, step=3, search=9, two_stage=True):
     """Denoise a 3D volume with BM4D (drop-in for the reference's
     ``bm4d.bm4d(raw, sigma)`` call sites).
 

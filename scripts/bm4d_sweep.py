@@ -28,8 +28,6 @@ CONFIGS = [
     ("b4_k16_s7_st3", 4, 16, 7, 3),
     ("b4_k16_s9_st3", 4, 16, 9, 3),
     ("b4_k16_s11_st3", 4, 16, 11, 3),
-    ("b4_k32_s9_st3", 4, 32, 9, 3),
-    ("b8_k16_s9_st4", 8, 16, 9, 4),
     ("b4_k16_s9_st2", 4, 16, 9, 2),
 ]
 
