@@ -16,6 +16,7 @@ from exaspim_tpu.compression.cratio import (
     compress_and_decompress_2d,
     compute_cratio,
     compute_cratio_2d,
+    compute_cratio_jpegxl,
 )
 from exaspim_tpu.compression.jpeg import (
     Jpeg2000SliceCodec,
@@ -37,6 +38,7 @@ __all__ = [
     "best_codec",
     "compute_cratio",
     "compute_cratio_2d",
+    "compute_cratio_jpegxl",
     "compress_and_decompress_2d",
     "cratio_proxy",
 ]

@@ -120,3 +120,22 @@ def compress_and_decompress_2d(img, codec, patch_shape=(32, 256, 256),
             total_u += u
             total_c += c
     return out, round(total_u / total_c, 2)
+
+
+def compute_cratio_jpegxl(img, patch_shape=(128, 128, 64), distance=1.0,
+                          effort=3, lossless=False, max_workers=8):
+    """Chunked JPEG-XL compression ratio over 2D slices.
+
+    Direct counterpart of reference img_util.py:444-472
+    (``compute_cratio_jpegxl``): volumes are walked in
+    ``patch_shape`` chunks and each chunk's 2D slices are JPEG-XL
+    encoded (uint16-faithful, via the libjxl binding).
+    """
+    from exaspim_tpu.compression.jxl import JxlSliceCodec
+
+    codec = JxlSliceCodec(
+        distance=distance, effort=effort, lossless=lossless
+    )
+    return compute_cratio_2d(
+        img, codec, patch_shape=patch_shape, max_workers=max_workers
+    )

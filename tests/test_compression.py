@@ -183,3 +183,17 @@ def test_jpeg2000_slice_codec_uint16():
     np.testing.assert_array_equal(
         lossless.decode(lossless.encode(img[0])), img[0]
     )
+
+
+def test_compute_cratio_jpegxl_chunked():
+    from exaspim_tpu.compression import jxl_available
+    from exaspim_tpu.compression.cratio import compute_cratio_jpegxl
+
+    if not jxl_available():
+        pytest.skip("libjxl not present on this system")
+    img = _poisson_volume((8, 96, 80), lam=2000, offset=500, seed=9)
+    lossy = compute_cratio_jpegxl(img, patch_shape=(8, 64, 64))
+    lossless = compute_cratio_jpegxl(
+        img, patch_shape=(8, 64, 64), lossless=True
+    )
+    assert lossy > lossless > 1.0
