@@ -80,10 +80,20 @@ def main():
     img = noisy_observation(clean, seed=1)
 
     trained = os.path.exists(CKPT)
+    # Conv dispatch override for A/B runs ("auto" = blocked Pallas convs
+    # where they win, "never" = plain XLA convs).
+    blocked = os.environ.get("EXASPIM_BENCH_BLOCKED", "auto")
     if trained:
-        from exaspim_tpu.train import restore_pipeline
+        from exaspim_tpu.models import build_model
+        from exaspim_tpu.train.checkpoint import load_checkpoint
+        from exaspim_tpu.transforms import build_transform
 
-        model, params, transform = restore_pipeline(CKPT, dtype=jnp.bfloat16)
+        ckpt = load_checkpoint(CKPT)
+        model = build_model(
+            ckpt["model_config"], dtype=jnp.bfloat16, blocked=blocked
+        )
+        params, transform = ckpt["params"], build_transform(
+            ckpt["transform"])
     else:  # fresh clone without the checkpoint: identity model, no guards
         from exaspim_tpu.models import UNet
         from exaspim_tpu.transforms import build_transform

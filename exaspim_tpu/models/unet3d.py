@@ -42,34 +42,247 @@ def _norm_groups(channels: int) -> int:
     return math.gcd(8, channels)
 
 
+def _seg_info(x):
+    """(is_blocked, cin_splits, (h, w)) for array | Blocked | segments."""
+    from exaspim_tpu.ops.nb_conv import Blocked
+
+    if isinstance(x, (tuple, list)):
+        return True, tuple(s.channels for s in x), (x[0].h, x[0].w)
+    if isinstance(x, Blocked):
+        return True, (x.channels,), (x.h, x.w)
+    return False, (int(x.shape[-1]),), (int(x.shape[2]), int(x.shape[3]))
+
+
+def _ensure_array(x):
+    """Collapse a Blocked (or segment tuple) back to NDHWC."""
+    from exaspim_tpu.ops.nb_conv import Blocked
+
+    if isinstance(x, (tuple, list)):
+        return jnp.concatenate([_ensure_array(s) for s in x], axis=-1)
+    if isinstance(x, Blocked):
+        return x.unblock()
+    return x
+
+
+def _nb_ok(h, w, cin_splits, cout, mode):
+    """Trace-time gate: use the MXU-blocked Pallas conv here?
+
+    Measured on the real chip (scripts/nb_bench.py): the nb kernel wins
+    where XLA's conv emitter is channel-bound — 64³×C32 conv 29 ms (XLA)
+    → 15.4 ms (nb) — but at 32³×C64 XLA already runs at 44 TF/s, hence
+    the ≥ 64×64 spatial gate. Off-TPU the XLA conv is always used
+    (mode "force" runs the kernel interpreted, for equivalence tests).
+    """
+    from exaspim_tpu.ops.nb_conv import supports_nb_conv
+
+    if mode == "never":
+        return False
+    if jax.default_backend() != "tpu" and mode != "force":
+        return False
+    return (
+        cout % 32 == 0
+        and supports_nb_conv(h, w, cin_splits)
+        and (h // 2) * (w // 2) >= 1024
+    )
+
+
+def _leaky(x):
+    from exaspim_tpu.ops.nb_conv import Blocked
+
+    fn = functools.partial(nn.leaky_relu, negative_slope=0.01)
+    return x.map(fn) if isinstance(x, Blocked) else fn(x)
+
+
+def max_pool3d_blocked(xb):
+    """2³ stride-2 max pool consuming a Blocked input → NDHWC at ½ res.
+
+    In blocked layout the 2×2 y/x window is the four parity lane groups
+    and the z window is two consecutive slabs — one cheap reduction, no
+    relayout of the full-resolution tensor.
+    """
+    b, d, m, l4 = xb.data.shape
+    c = l4 // 4
+    d2 = d // 2  # odd trailing z slab is dropped, like VALID pooling
+    data = xb.data[:, :2 * d2]
+    # Parity max via four contiguous lane slices (lanes are (p_y,p_x,c);
+    # splitting the minor-most lane dim with a reshape forces cross-lane
+    # shuffles), then a z-pair max on the sublane-major axis.
+    par = jnp.maximum(
+        jnp.maximum(data[..., 0:c], data[..., c:2 * c]),
+        jnp.maximum(data[..., 2 * c:3 * c], data[..., 3 * c:4 * c]),
+    )
+    y = par.reshape(b, d2, 2, m, c).max(axis=2)
+    return y.reshape(b, d2, xb.h // 2, xb.w // 2, c)
+
+
+class Conv(nn.Module):
+    """3³ SAME conv, no bias — layout-polymorphic.
+
+    Given an NDHWC array, applies ``lax.conv_general_dilated``. Given a
+    ``Blocked`` activation (or a tuple of them — a skip concat expressed
+    as lane segments), applies the natural-phase blocked Pallas kernel
+    (ops/nb_conv.py) and returns a ``Blocked``: inside a blocked stage
+    no layout conversion ever happens.
+
+    Param layout (``kernel``: (3,3,3,cin,cout), lecun-normal init) and
+    the auto-generated module name ("Conv_N") match ``nn.Conv`` exactly,
+    so checkpoints are interchangeable with the plain-XLA variant and
+    the torch parity oracle is unaffected.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    #: 3 → 3³ SAME conv, no bias (DoubleConv body). 1 → 1×1×1 pointwise
+    #: conv with bias (the output head); on a Blocked input this is a
+    #: lane-tiled GEMM (kron(I₄, W)) — reshaping the big tensor to
+    #: (…, 4, C) instead costs a ~6 ms layout copy (profiled).
+    window: int = 3
+    use_bias: bool = False
+    kernel_init: object = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        from exaspim_tpu.ops.nb_conv import Blocked, nb_conv3d
+
+        blocked_in, cin_splits, (h, w) = _seg_info(x)
+        cin = sum(cin_splits)
+        kw = (self.window,) * 3
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            kw + (cin, self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+            if self.use_bias else None
+        )
+        k = kernel.astype(self.dtype)
+        if blocked_in and self.window == 1:
+            wtile = jnp.kron(
+                jnp.eye(4, dtype=self.dtype),
+                k.reshape(cin, self.features),
+            )
+            y = jnp.einsum(
+                "bdml,lf->bdmf", x.data.astype(self.dtype), wtile
+            )
+            if bias is not None:
+                y = y + jnp.tile(bias, 4).astype(self.dtype)
+            return Blocked(y, h, w)
+        if blocked_in:
+            segs = x if isinstance(x, (tuple, list)) else (x,)
+            yb = nb_conv3d(
+                tuple(s.data.astype(self.dtype) for s in segs),
+                k, h, w, cin_splits,
+                jax.default_backend() != "tpu",
+            )
+            return Blocked(yb, h, w)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over the channel axis — layout-polymorphic.
+
+    Matches ``nn.GroupNorm`` semantics (stats in f32 over all spatial
+    positions and within-group channels; eps like torch.nn.GroupNorm,
+    reference blocks) and its param names/shapes ("scale"/"bias", (C,)),
+    and additionally normalizes ``Blocked`` activations in place: the
+    four parity lane groups are spatial positions, so they join the
+    reduction axes and the whole stage stays blocked.
+    """
+
+    num_groups: int
+    dtype: jnp.dtype = jnp.float32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        from exaspim_tpu.ops.nb_conv import Blocked
+
+        blocked = isinstance(x, Blocked)
+        data = x.data if blocked else x
+        c = data.shape[-1] // 4 if blocked else data.shape[-1]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        # TPU-shaped two-pass GroupNorm, numerically flax-style (f32
+        # stats, var = E[x²] − E[x]²):
+        #   1. one spatial reduction to per-channel sums — the lane dim
+        #      stays intact (no (g, c/g) or parity reshapes of the big
+        #      tensor: splitting the minor-most 128 lanes forces
+        #      cross-lane shuffles and was measured at ~10 ms/512 MB),
+        #   2. fold parities/groups on the tiny (B, nc) result,
+        #   3. one fused multiply-add ``x·a + b`` with a lane-aligned
+        #      (B, 1, …, nc) broadcast.
+        nc = data.shape[-1]
+        xf = data.astype(jnp.float32)
+        red = tuple(range(1, xf.ndim - 1))
+        s1 = xf.mean(axis=red)            # (B, nc)
+        s2 = (xf * xf).mean(axis=red)     # (B, nc)
+        if blocked:
+            b_n = s1.shape[0]
+            s1 = s1.reshape(b_n, 4, c).mean(axis=1)
+            s2 = s2.reshape(b_n, 4, c).mean(axis=1)
+        b_n = s1.shape[0]
+        mean_g = s1.reshape(b_n, g, c // g).mean(axis=-1, keepdims=True)
+        m2_g = s2.reshape(b_n, g, c // g).mean(axis=-1, keepdims=True)
+        var_g = jnp.maximum(m2_g - mean_g * mean_g, 0.0)
+        inv = jax.lax.rsqrt(var_g + self.epsilon)        # (B, g, 1)
+        a_c = (inv * scale.reshape(1, g, c // g)).reshape(b_n, c)
+        b_c = bias.reshape(1, c) - (mean_g * inv
+                                    * scale.reshape(1, g, c // g)
+                                    ).reshape(b_n, c)
+        if blocked:
+            a_c = jnp.tile(a_c, (1, 4))
+            b_c = jnp.tile(b_c, (1, 4))
+        bshape = (b_n,) + (1,) * (xf.ndim - 2) + (nc,)
+        y = (xf * a_c.reshape(bshape) + b_c.reshape(bshape)).astype(
+            self.dtype)
+        return Blocked(y, x.h, x.w) if blocked else y
+
+
 class DoubleConv(nn.Module):
     """(Conv3D 3³ → GroupNorm(gcd(8,C)) → LeakyReLU 0.01) × 2.
 
     Mirrors reference unet3d.py:137-208 semantics with an optional
     narrower mid-channel (used on the decoder path).
+
+    Layout planning happens here: before each conv, the activation is
+    packed into the MXU-blocked layout when the conv qualifies
+    (:func:`_nb_ok`), or unpacked when it doesn't; GroupNorm/LeakyReLU
+    follow the current layout. The return value may be a ``Blocked`` —
+    callers either keep the blocked span going (pool, skip, head) or
+    call :func:`_ensure_array`.
     """
 
     out_channels: int
     mid_channels: int | None = None
     dtype: jnp.dtype = jnp.float32
+    blocked: str = "auto"
 
     @nn.compact
     def __call__(self, x):
+        from exaspim_tpu.ops.nb_conv import Blocked
+
         mid = self.mid_channels or self.out_channels
         for channels in (mid, self.out_channels):
-            x = nn.Conv(
-                channels, (3, 3, 3), padding="SAME", use_bias=False,
-                dtype=self.dtype, param_dtype=jnp.float32,
-            )(x)
-            # Flax computes GroupNorm mean/var in float32 internally even
-            # under a bf16 compute dtype, so no explicit f32 round-trip is
-            # needed — that cast pair cost 2 full-tensor HBM passes per
-            # block. Epsilon matches torch.nn.GroupNorm (reference blocks).
-            x = nn.GroupNorm(
+            is_b, splits, (h, w) = _seg_info(x)
+            ok = _nb_ok(h, w, splits, channels, self.blocked)
+            if ok and not is_b:
+                x = Blocked.block(x.astype(self.dtype))
+            elif not ok and is_b:
+                x = _ensure_array(x)
+            x = Conv(channels, dtype=self.dtype)(x)
+            x = GroupNorm(
                 num_groups=_norm_groups(channels), dtype=self.dtype,
-                param_dtype=jnp.float32, epsilon=1e-5,
+                epsilon=1e-5,
             )(x)
-            x = nn.leaky_relu(x, negative_slope=0.01)
+            x = _leaky(x)
         return x
 
 
@@ -174,6 +387,38 @@ def resize_trilinear(x, target_spatial, align_corners=False):
     return x
 
 
+def resize_trilinear_blocked(x, align_corners=False):
+    """Trilinear ×2 upsample of an NDHWC volume, emitted directly in the
+    natural-phase blocked layout (``Blocked`` at (2H, 2W), depth 2D).
+
+    The four (p_y, p_x) output parities are separable row-subsets of the
+    1-D interpolation matrices, so this is the same three MXU einsums as
+    :func:`resize_trilinear` split into four quarter-outputs whose lane
+    concat IS the blocked layout — no big relayout ever materializes.
+    (Profiled: a 512 MB ``to_blocked`` transpose next to a Pallas call
+    costs ~5.4 ms itself plus ~18 ms of collateral layout damage in the
+    neighboring conv fusions.)
+    """
+    from exaspim_tpu.ops.nb_conv import Blocked
+
+    b, d, h, w, c = x.shape
+    mz = jnp.asarray(
+        _linear_resize_matrix(d, 2 * d, bool(align_corners)), x.dtype
+    )
+    x = jnp.einsum("ij,bjhwc->bihwc", mz, x)
+    my = _linear_resize_matrix(h, 2 * h, bool(align_corners))
+    mx = _linear_resize_matrix(w, 2 * w, bool(align_corners))
+    parts = []
+    for py in (0, 1):
+        ty = jnp.asarray(my[py::2], x.dtype)      # rows y_out = 2g_y+p_y
+        t = jnp.einsum("ij,bdjwc->bdiwc", ty, x)
+        for px in (0, 1):
+            tx = jnp.asarray(mx[px::2], x.dtype)
+            q = jnp.einsum("ij,bdhjc->bdhic", tx, t)
+            parts.append(q.reshape(b, 2 * d, h * w, c))
+    return Blocked(jnp.concatenate(parts, axis=-1), 2 * h, 2 * w)
+
+
 class Up(nn.Module):
     """Upsample ×2, pad to skip's spatial shape, concat skip, DoubleConv.
 
@@ -187,20 +432,53 @@ class Up(nn.Module):
     skip: bool = True
     dtype: jnp.dtype = jnp.float32
     align_corners: bool = False
+    blocked: str = "auto"
 
     @nn.compact
     def __call__(self, x, skip_x=None):
+        from exaspim_tpu.ops.nb_conv import Blocked
+
+        x = _ensure_array(x)
         if self.trilinear:
-            target = tuple(2 * s for s in x.shape[1:4])
-            x = resize_trilinear(x, target, self.align_corners)
+            blocked_resize = False
+            if skip_x is not None and self.skip and isinstance(
+                skip_x, Blocked
+            ):
+                # Keep the blocked span end-to-end: upsample straight
+                # into blocked layout and express the concat as lane
+                # segments for the blocked conv — neither a relayout
+                # nor a concat ever materializes.
+                cat = skip_x.channels + int(x.shape[-1])
+                shapes_match = (
+                    skip_x.data.shape[1] == 2 * x.shape[1]
+                    and (skip_x.h, skip_x.w)
+                    == (2 * x.shape[2], 2 * x.shape[3])
+                )
+                blocked_resize = shapes_match and _nb_ok(
+                    skip_x.h, skip_x.w,
+                    (skip_x.channels, int(x.shape[-1])), cat // 2,
+                    self.blocked,
+                )
+            if blocked_resize:
+                x = (
+                    skip_x,
+                    resize_trilinear_blocked(
+                        x.astype(self.dtype), self.align_corners
+                    ),
+                )
+            else:
+                target = tuple(2 * s for s in x.shape[1:4])
+                x = resize_trilinear(x, target, self.align_corners)
         else:
             x = nn.ConvTranspose(
                 x.shape[-1] // 2, (2, 2, 2), strides=(2, 2, 2),
                 dtype=self.dtype, param_dtype=jnp.float32,
             )(x)
-        if skip_x is not None and self.skip:
+        if skip_x is not None and self.skip and not isinstance(x, tuple):
+            if isinstance(skip_x, Blocked):
+                skip_x = skip_x.unblock()
             # Pad (never crop — encoder sizes are >= after //2 rounding)
-            # to the skip connection's spatial shape, centered.
+            # to the skip's spatial shape, centered.
             pads = [(0, 0)]
             for axis in range(1, 4):
                 diff = skip_x.shape[axis] - x.shape[axis]
@@ -208,9 +486,14 @@ class Up(nn.Module):
             pads.append((0, 0))
             x = jnp.pad(x, pads)
             x = jnp.concatenate([skip_x, x], axis=-1)
-        mid = x.shape[-1] // 2 if self.trilinear else None
+        if isinstance(x, tuple):
+            cat_channels = sum(s.channels for s in x)
+        else:
+            cat_channels = x.shape[-1]
+        mid = cat_channels // 2 if self.trilinear else None
         return DoubleConv(
-            self.out_channels, mid_channels=mid, dtype=self.dtype
+            self.out_channels, mid_channels=mid, dtype=self.dtype,
+            blocked=self.blocked,
         )(x)
 
 
@@ -236,6 +519,11 @@ class UNet(nn.Module):
     #: the reference's torch Upsample(align_corners=True) exactly (used
     #: by the torch↔Flax parity oracle).
     align_corners: bool = False
+    #: Conv dispatch (execution detail, NOT part of ``config``):
+    #: "auto" uses the MXU-blocked Pallas conv on TPU where it wins,
+    #: "never" forces plain XLA convs, "force" runs the blocked kernel
+    #: in interpret mode off-TPU (equivalence tests only — slow).
+    blocked: str = "auto"
 
     def _head_kernel_init(self):
         if self.head_init == "zeros":
@@ -271,24 +559,40 @@ class UNet(nn.Module):
         c1, c2, c3, c4, c5 = self._channels()
         factor = 2 if self.trilinear else 1
         dt = self.dtype
+        bk = self.blocked
         xin = x
         x = x.astype(dt)
-        s1 = DoubleConv(c1, dtype=dt)(x)
-        s2 = DoubleConv(c2, dtype=dt)(max_pool3d(s1))
-        s3 = DoubleConv(c3, dtype=dt)(max_pool3d(s2))
-        s4 = DoubleConv(c4, dtype=dt)(max_pool3d(s3))
-        x = DoubleConv(c5 // factor, dtype=dt)(max_pool3d(s4))
+        from exaspim_tpu.ops.nb_conv import Blocked
+
+        def pool(s):
+            return (max_pool3d_blocked(s) if isinstance(s, Blocked)
+                    else max_pool3d(s))
+
+        s1 = DoubleConv(c1, dtype=dt, blocked=bk)(x)
+        s2 = DoubleConv(c2, dtype=dt, blocked=bk)(pool(s1))
+        s3 = DoubleConv(c3, dtype=dt, blocked=bk)(pool(s2))
+        s4 = DoubleConv(c4, dtype=dt, blocked=bk)(pool(s3))
+        x = DoubleConv(c5 // factor, dtype=dt, blocked=bk)(pool(s4))
         ac = self.align_corners
-        x = Up(c4 // factor, self.trilinear, dtype=dt, align_corners=ac)(x, s4)
-        x = Up(c3 // factor, self.trilinear, dtype=dt, align_corners=ac)(x, s3)
-        x = Up(c2 // factor, self.trilinear, dtype=dt, align_corners=ac)(x, s2)
-        x = Up(c1, self.trilinear, dtype=dt, align_corners=ac)(x, s1)
+        up = functools.partial(
+            Up, trilinear=self.trilinear, dtype=dt, align_corners=ac,
+            blocked=bk,
+        )
+        x = up(c4 // factor)(x, s4)
+        x = up(c3 // factor)(x, s3)
+        x = up(c2 // factor)(x, s2)
+        x = up(c1)(x, s1)
         # Zero-init head: the residual net starts as the identity map, so
         # an untrained model is a no-op denoiser (stable early training).
-        logits = nn.Conv(
-            1, (1, 1, 1), dtype=dt, param_dtype=jnp.float32,
+        # On a blocked activation the head runs as a lane-tiled GEMM and
+        # only the tiny single-channel logits tensor is ever unblocked.
+        head = Conv(
+            1, dtype=dt, window=1, use_bias=True,
             kernel_init=self._head_kernel_init(),
-        )(x)
+        )
+        logits = head(x)
+        if isinstance(logits, Blocked):
+            logits = logits.unblock()
         return xin + logits.astype(xin.dtype)
 
 
@@ -305,44 +609,72 @@ class N2V2UNet(UNet):
         c1, c2, c3, c4, c5 = self._channels()
         factor = 2 if self.trilinear else 1
         dt = self.dtype
+        bk = self.blocked
         xin = x
         x = x.astype(dt)
-        s1 = DoubleConv(c1, dtype=dt)(x)
-        s2 = DoubleConv(c2, dtype=dt)(max_blur_pool3d(s1, dtype=dt))
-        s3 = DoubleConv(c3, dtype=dt)(max_blur_pool3d(s2, dtype=dt))
-        s4 = DoubleConv(c4, dtype=dt)(max_blur_pool3d(s3, dtype=dt))
-        x = DoubleConv(c5 // factor, dtype=dt)(max_blur_pool3d(s4, dtype=dt))
+        from exaspim_tpu.ops.nb_conv import Blocked
+
+        def pool(s):
+            return max_blur_pool3d(_ensure_array(s), dtype=dt)
+
+        # Encoder stays unblocked: MaxBlurPool needs the NDHWC layout
+        # (separable replicate-padded blur), and unblocking a 512 MB
+        # stage mid-encoder costs more in relayouts than the blocked
+        # convs save (see Conv/_nb_ok notes).
+        enc = "never" if bk == "auto" else bk
+        s1 = DoubleConv(c1, dtype=dt, blocked=enc)(x)
+        s2 = DoubleConv(c2, dtype=dt, blocked=enc)(pool(s1))
+        s3 = DoubleConv(c3, dtype=dt, blocked=enc)(pool(s2))
+        s4 = DoubleConv(c4, dtype=dt, blocked=enc)(pool(s3))
+        x = DoubleConv(c5 // factor, dtype=dt, blocked=enc)(pool(s4))
         ac = self.align_corners
-        x = Up(c4 // factor, self.trilinear, dtype=dt, align_corners=ac)(x, s4)
-        x = Up(c3 // factor, self.trilinear, dtype=dt, align_corners=ac)(x, s3)
-        x = Up(c2 // factor, self.trilinear, dtype=dt, align_corners=ac)(x, s2)
+        up = functools.partial(
+            Up, trilinear=self.trilinear, dtype=dt, align_corners=ac,
+            blocked=bk,
+        )
+        x = up(c4 // factor)(x, s4)
+        x = up(c3 // factor)(x, s3)
+        x = up(c2 // factor)(x, s2)
         # Final upsample without the s1 skip (reference unet3d.py:538-571).
-        x = Up(c1, self.trilinear, skip=False, dtype=dt, align_corners=ac)(x, None)
-        # Re-pad to input spatial size if rounding shrank it.
-        pads = [(0, 0)]
-        for axis in range(1, 4):
-            diff = xin.shape[axis] - x.shape[axis]
-            pads.append((diff // 2, diff - diff // 2))
-        pads.append((0, 0))
-        x = jnp.pad(x, pads)
-        logits = nn.Conv(
-            1, (1, 1, 1), dtype=dt, param_dtype=jnp.float32,
+        x = up(c1, skip=False)(x, None)
+        head = Conv(
+            1, dtype=dt, window=1, use_bias=True,
             kernel_init=self._head_kernel_init(),
-        )(x)
+        )
+        if isinstance(x, Blocked) and x.data.shape[1] == xin.shape[1] \
+                and (x.h, x.w) == (xin.shape[2], xin.shape[3]):
+            logits = head(x).unblock()
+        else:
+            # Re-pad to input spatial size if rounding shrank it.
+            x = _ensure_array(x)
+            pads = [(0, 0)]
+            for axis in range(1, 4):
+                diff = xin.shape[axis] - x.shape[axis]
+                pads.append((diff // 2, diff - diff // 2))
+            pads.append((0, 0))
+            x = jnp.pad(x, pads)
+            logits = head(x)
         return xin + logits.astype(xin.dtype)
 
 
 MODEL_REGISTRY = {"UNet": UNet, "N2V2UNet": N2V2UNet}
 
 
-def build_model(config, dtype=jnp.float32):
+def build_model(config, dtype=jnp.float32, blocked="auto"):
     """Rebuild a model from its ``config`` dict (checkpoint round-trip).
 
     Unlike the reference's loader (which NameErrors on N2V2UNet
     checkpoints, reference inference.py:291), every registered model
     class dispatches correctly.
+
+    ``blocked`` is an execution detail (never stored in configs): "auto"
+    uses the MXU-blocked conv path on TPU — a measured net win for
+    forward/inference; training currently passes "never" because the
+    blocked dL/dW kernel still loses to XLA's fused conv gradients
+    (see ops/nb_conv.py).
     """
     cfg = dict(config)
+    cfg["blocked"] = blocked
     name = cfg.pop("model", "UNet")
     if name not in MODEL_REGISTRY:
         raise ValueError(

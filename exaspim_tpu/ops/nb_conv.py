@@ -1,0 +1,541 @@
+"""Natural-phase blocked 3³ conv: blocked layout in, blocked layout out.
+
+The second-generation MXU conv kernel (successor to
+``ops/pallas_conv.py``). The UNet's FLOP mass sits in 3³ convs with
+32-64 channels where XLA's conv emitter runs the MXU at 1/4-1/2 width
+(it contracts K=C_in and emits N=C_out lanes). Folding the 2×2 y/x
+spatial parities into lanes gives 4·C ≥ 128 lanes — but the round-1
+kernel (`blocked_conv3d`) paid an XLA pack/unpack relayout *per conv*
+(~25 ms/DoubleConv, transposes run far off HBM bandwidth on TPU), which
+ate the GEMM win.
+
+This kernel removes the boundary entirely by making the **blocked
+tensor the resident activation layout**:
+
+* layout ``(B, D, h2·w2, 4C)``, rows ``gy·w2 + qx``, lanes
+  ``(py, px, c)`` — *natural phase*: block ``(gy, qx)`` holds pixels
+  ``(2gy+py, 2qx+px)``. Input and output use the same convention, so
+  convs (and GroupNorm / LeakyReLU / pooling, see ``unet3d.py``)
+  compose without relayouts.
+* the im2col panel is built in VMEM from 27 *static* slices (sublane
+  shifts of ±1/±w2; 64/128-lane-aligned widths only). The ``Δq_y``
+  parity restriction is applied by copying lane halves (``Δq_y=-1``
+  only contributes via ``p_y=1``); the ``Δq_x`` restrictions are left
+  as zero rows in the packed weights. ``K = 72·C`` (72/27 ≈ 2.67×
+  FLOP inflation) — measured faster than the minimal ``K = 48·C``
+  panel, whose 32-lane unaligned stores cost ~3× more than the extra
+  MXU rows save (scripts/nb_diag.py: 15 ms vs 22 ms; XLA conv 29 ms).
+* y out-of-range taps land in zero pad rows; x out-of-range taps are
+  masked in-kernel (the ±1 row shift wraps across ``g_y`` boundaries);
+  z taps are three BlockSpec views of the z-padded tensor.
+* concat-style inputs (decoder skip connections) are supported without
+  materializing a re-ordered concat: ``cin_splits`` describes the lane
+  segmentation ``[(py,px,c_a) | (py,px,c_b)]`` and both the panel build
+  and the weight packing address segments directly.
+
+Training: ``dL/dx`` is the same kernel with spatially flipped,
+channel-transposed weights (the layout is self-adjoint); ``dL/dW`` is a
+second Pallas kernel that rebuilds the panel and accumulates
+``panelᵀ @ g`` in f32 across the grid, then folds the packed gradient
+back onto the 3³ taps (the packing is linear, so its transpose is a sum
+of slices).
+
+Numerics: f32 accumulation (``preferred_element_type``), output cast to
+the input dtype — exactly ``lax.conv_general_dilated(..., "SAME")``
+with no bias, checked to tolerance by tests/test_nb_conv.py.
+
+Reference context: replaces the hot path of the reference's torch/cuDNN
+convs (reference unet3d.py:137-208); layout decisions per
+/opt/skills/guides/pallas_guide.md (MXU 128-lane tiling, Mosaic slice
+constraints).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.experimental.pallas as pl
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "Blocked",
+    "to_blocked",
+    "from_blocked",
+    "nb_conv3d",
+    "supports_nb_conv",
+]
+
+# Tap groups per z-slab: (Δq_y, Δq_x, p_y half copied).
+# Δq_y=-1 only reaches taps via p_y=1 (the upper half of the lane dim)
+# and Δq_y=+1 only via p_y=0, so those copies are 2C-wide halves; all
+# Δq_x restrictions are left to zero rows in the packed weights so that
+# every VMEM copy is a 64/128-lane-aligned slice — narrow unaligned
+# stores cost ~3x more than the extra MXU rows they save (measured,
+# scripts/nb_diag.py: K=48C narrow panel 22 ms vs K=72C wide 15 ms).
+_GROUPS = (
+    (0, 0, None), (0, -1, None), (0, 1, None),
+    (-1, 0, 1), (1, 0, 0),
+    (-1, -1, 1), (-1, 1, 1), (1, -1, 0), (1, 1, 0),
+)
+
+
+@jax.tree_util.register_pytree_node_class
+class Blocked:
+    """A natural-phase blocked activation: ``data`` is (B, D, h/2·w/2,
+    4C) with lanes (p_y, p_x, c); ``h``/``w`` are the unblocked y/x
+    extents (static). Passed between model layers so a whole stage runs
+    without layout round-trips — a 512 MB relayout costs ~12 ms on this
+    chip, which is the entire kernel win (measured, scripts/step_bench.py).
+    """
+
+    __slots__ = ("data", "h", "w")
+
+    def __init__(self, data, h, w):
+        self.data = data
+        self.h = int(h)
+        self.w = int(w)
+
+    @property
+    def channels(self):
+        return self.data.shape[-1] // 4
+
+    def map(self, fn):
+        """Apply an elementwise function in blocked layout."""
+        return Blocked(fn(self.data), self.h, self.w)
+
+    def unblock(self):
+        return from_blocked(self.data, self.h, self.w)
+
+    @classmethod
+    def block(cls, x):
+        return cls(to_blocked(x), x.shape[2], x.shape[3])
+
+    def tree_flatten(self):
+        return (self.data,), (self.h, self.w)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def to_blocked(x):
+    """(B, D, H, W, C) → (B, D, H/2·W/2, 4C), lanes (p_y, p_x, c)."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+    return x.reshape(b, d, (h // 2) * (w // 2), 4 * c)
+
+
+def from_blocked(xb, h, w):
+    """Inverse of :func:`to_blocked`."""
+    b, d, m, l4 = xb.shape
+    c = l4 // 4
+    xb = xb.reshape(b, d, h // 2, w // 2, 2, 2, c)
+    xb = xb.transpose(0, 1, 2, 4, 3, 5, 6)
+    return xb.reshape(b, d, h, w, c)
+
+
+def supports_nb_conv(h, w, cin_splits):
+    """Kernel eligibility: 16-aligned y/x and either 32-multiple channel
+    segments (wide lane-sliced panel) or a single tiny-channel input
+    (full-group panel — covers the network's 1-channel entry conv, so a
+    64³ stage never materializes an unblocked activation)."""
+    ok_c = all(c % 32 == 0 for c in cin_splits) or (
+        len(cin_splits) == 1 and cin_splits[0] < 32
+    )
+    return (
+        h % 16 == 0
+        and w % 16 == 0
+        and ok_c
+        and (h // 2) * (w // 2) >= 256
+    )
+
+
+def _small_mode(cin_splits):
+    return len(cin_splits) == 1 and cin_splits[0] % 32 != 0
+
+
+def _row_pad(w2):
+    """Pad rows per side: covers shifts up to w2+1, 8-row aligned."""
+    return w2 + 8
+
+
+def _groups_for(cin_splits):
+    """Tap groups: the wide lane-sliced scheme for 32-multiple channels;
+    for a tiny single segment (e.g. the 1-channel entry conv) every
+    group copies all four parities — lane slicing at sub-32 offsets is
+    not worth it and the FLOP inflation is irrelevant at c < 32."""
+    if _small_mode(cin_splits):
+        return tuple(
+            (dy, dx, None) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        )
+    return _GROUPS
+
+
+def _iter_rows(cin_splits):
+    """Yield (tz, dy, dx, parities, seg, lane0, width, k_row) in panel
+    order.
+
+    ``lane0``/``width`` address the input lane slice *within its segment
+    tensor* — always a 64/128-lane-aligned (p_y, p_x, c) run;
+    ``parities`` lists the (p_y, p_x) pairs it contains, in lane order;
+    ``k_row`` is the panel/packed-weight row offset.
+    """
+    row = 0
+    for tz in range(3):
+        for dy, dx, py_half in _groups_for(cin_splits):
+            for seg, c in enumerate(cin_splits):
+                if py_half is None:
+                    lane0, width = 0, 4 * c
+                    pars = [(0, 0), (0, 1), (1, 0), (1, 1)]
+                else:
+                    lane0, width = py_half * 2 * c, 2 * c
+                    pars = [(py_half, 0), (py_half, 1)]
+                yield tz, dy, dx, pars, seg, lane0, width, row
+                row += width
+
+
+def _k_dim(cin_splits):
+    if _small_mode(cin_splits):
+        return 108 * cin_splits[0]
+    return 72 * sum(cin_splits)
+
+
+def _n_chunks(cin_splits):
+    """Panel chunks: (tz, Δq_y class) for the wide scheme (VMEM bound),
+    one chunk per tz in small mode (tiny panels)."""
+    return 3 if _small_mode(cin_splits) else 6
+
+
+@functools.lru_cache(maxsize=64)
+def _pack_weights_fn(cin_splits, cout):
+    """jit-compiled (3,3,3,Σcin,cout) → (48·Σcin, 4·cout) packer."""
+    csum = [0]
+    for c in cin_splits:
+        csum.append(csum[-1] + c)
+
+    def pack(k3):
+        wp = jnp.zeros((_k_dim(cin_splits), 4 * cout), k3.dtype)
+        for tz, dy, dx, pars, seg, _l0, _w, row in _iter_rows(cin_splits):
+            c = cin_splits[seg]
+            ci0 = csum[seg]
+            for j, (py, px) in enumerate(pars):
+                r0 = row + j * c
+                for ry in range(2):
+                    ty = 2 * dy + py - ry
+                    if not -1 <= ty <= 1:
+                        continue
+                    for rx in range(2):
+                        tx = 2 * dx + px - rx
+                        if not -1 <= tx <= 1:
+                            continue
+                        col = (ry * 2 + rx) * cout
+                        wp = wp.at[r0:r0 + c, col:col + cout].set(
+                            k3[tz, ty + 1, tx + 1, ci0:ci0 + c]
+                        )
+        return wp
+
+    return jax.jit(pack)
+
+
+@functools.lru_cache(maxsize=64)
+def _unpack_wgrad_fn(cin_splits, cout):
+    """jit-compiled transpose of the packer: (48·Σcin, 4·cout) → taps."""
+    csum = [0]
+    for c in cin_splits:
+        csum.append(csum[-1] + c)
+    cin = csum[-1]
+
+    def unpack(dwp):
+        dk = jnp.zeros((3, 3, 3, cin, cout), dwp.dtype)
+        for tz, dy, dx, pars, seg, _l0, _w, row in _iter_rows(cin_splits):
+            c = cin_splits[seg]
+            ci0 = csum[seg]
+            for j, (py, px) in enumerate(pars):
+                r0 = row + j * c
+                for ry in range(2):
+                    ty = 2 * dy + py - ry
+                    if not -1 <= ty <= 1:
+                        continue
+                    for rx in range(2):
+                        tx = 2 * dx + px - rx
+                        if not -1 <= tx <= 1:
+                            continue
+                        col = (ry * 2 + rx) * cout
+                        dk = dk.at[tz, ty + 1, tx + 1, ci0:ci0 + c].add(
+                            dwp[r0:r0 + c, col:col + cout]
+                        )
+        return dk
+
+    return jax.jit(unpack)
+
+
+def _build_panel_chunk(h2, w2, cin_splits, chunk, xrefs, acc):
+    """Fill one im2col chunk: z-tap ``chunk // (n/3)``; in the wide
+    scheme each tz splits further into the Δq_y=0 full-width groups and
+    the Δq_y=±1 half-width groups (``_GROUPS`` lays K out in exactly
+    this order).
+
+    Chunking keeps the VMEM scratch at K/6 rows: a full K=72·64 panel
+    plus double-buffered operands blows the 16 MB VMEM budget, and the
+    chunked dots cost nothing extra (scripts/nb_diag.py: wide_tz_dots ≈
+    wide_panel).
+    """
+    m = h2 * w2
+    base = _row_pad(w2)
+    kc = _k_dim(cin_splits) // _n_chunks(cin_splits)
+    tz = chunk // (_n_chunks(cin_splits) // 3)
+    lo_row, hi_row = chunk * kc, (chunk + 1) * kc
+    qx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % w2
+    mask_hi = qx < (w2 - 1)  # Δq_x = +1 valid
+    mask_lo = qx > 0         # Δq_x = -1 valid
+    n_seg = len(cin_splits)
+    for tz_i, dy, dx, _pars, seg, lane0, width, row in _iter_rows(
+        cin_splits
+    ):
+        if tz_i != tz or not lo_row <= row < hi_row:
+            continue
+        xr = xrefs[tz * n_seg + seg]
+        r0 = base + dy * w2 + dx
+        seg_data = xr[0, 0, r0:r0 + m, lane0:lane0 + width]
+        if dx == 1:
+            seg_data = jnp.where(mask_hi, seg_data, 0)
+        elif dx == -1:
+            seg_data = jnp.where(mask_lo, seg_data, 0)
+        acc[:, row - lo_row:row - lo_row + width] = seg_data
+
+
+def _fwd_kernel(h2, w2, cin_splits, zb, *refs):
+    *xrefs, wp, out, acc = refs
+    m = h2 * w2
+    n_seg = len(cin_splits)
+    nch = _n_chunks(cin_splits)
+    kc = _k_dim(cin_splits) // nch
+    for zoff in range(zb):
+        # z-tap tz of output slice zoff reads view (zoff + tz); views
+        # are laid out [v0_seg0, v0_seg1, …, v1_seg0, …].
+        views = xrefs[zoff * n_seg:(zoff + 3) * n_seg]
+        res = jnp.zeros((m, out.shape[-1]), jnp.float32)
+        for chunk in range(nch):
+            _build_panel_chunk(h2, w2, cin_splits, chunk, views, acc)
+            res = res + jnp.dot(
+                acc[...], wp[chunk * kc:(chunk + 1) * kc, :],
+                preferred_element_type=jnp.float32,
+            )
+        out[0, zoff] = res.astype(out.dtype)
+
+
+def _dw_kernel(h2, w2, cin_splits, zb, *refs):
+    *xrefs, g, dwp, acc = refs
+    n_seg = len(cin_splits)
+    nch = _n_chunks(cin_splits)
+    kc = _k_dim(cin_splits) // nch
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    for zoff in range(zb):
+        views = xrefs[zoff * n_seg:(zoff + 3) * n_seg]
+        for chunk in range(nch):
+            _build_panel_chunk(h2, w2, cin_splits, chunk, views, acc)
+            part = jax.lax.dot_general(
+                acc[...], g[0, zoff],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            init = first & (zoff == 0)
+
+            @pl.when(init)
+            def _(chunk=chunk, part=part):
+                dwp[chunk * kc:(chunk + 1) * kc, :] = part
+
+            @pl.when(jnp.logical_not(init))
+            def _(chunk=chunk, part=part):
+                dwp[chunk * kc:(chunk + 1) * kc, :] = (
+                    dwp[chunk * kc:(chunk + 1) * kc, :] + part
+                )
+
+
+def _pad_blocked(xb, w2):
+    """Zero-pad one z slab each side and the y-shift halo rows."""
+    p = _row_pad(w2)
+    return jnp.pad(xb, ((0, 0), (1, 1), (p, p), (0, 0)))
+
+
+def _z_block(d, cin_splits, for_dw=False):
+    """Output z-slices per grid step. Amortizes the ~6 µs fixed cost of
+    a Pallas grid step (measured: a 2048-step conv pays ~12 ms of pure
+    step overhead) and cuts the z-halo re-reads from 3× to (zb+2)/zb.
+    Capped by VMEM: (zb+2)·n_seg input views must fit alongside the
+    panel chunk and double-buffered output (the dw kernel additionally
+    holds the f32 packed-gradient accumulator, so it caps lower)."""
+    if for_dw:
+        cap = 1 if len(cin_splits) > 1 else 2
+    else:
+        cap = 2 if len(cin_splits) > 1 else 4
+    for zb in (cap, 2, 1):
+        if d % zb == 0:
+            return zb
+    return 1
+
+
+def _x_specs(m, w2, lanes_per_seg, n_seg, zb):
+    """zb+2 single-slab z-views per input segment of the padded x."""
+    rp = m + 2 * _row_pad(w2)
+    specs = []
+    for v in range(zb + 2):
+        for s in range(n_seg):
+            specs.append(
+                pl.BlockSpec(
+                    (1, 1, rp, lanes_per_seg[s]),
+                    (lambda bi, zi, _v=v, _zb=zb: (bi, zi * _zb + _v, 0, 0)),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+    return specs
+
+
+def _grid_call(kernel, h2, w2, cin_splits, xbs, tail_in, out_shape,
+               out_spec, acc_dtype, interpret, zb):
+    b, d = xbs[0].shape[0], xbs[0].shape[1] - 2
+    m = h2 * w2
+    k = _k_dim(cin_splits)
+    n_seg = len(xbs)
+    lanes = [4 * c for c in cin_splits]
+    # z-views, v-major / segment-minor (matches the kernels' lookup).
+    ins = []
+    for _v in range(zb + 2):
+        ins.extend(xbs)
+    return pl.pallas_call(
+        functools.partial(kernel, h2, w2, cin_splits, zb),
+        out_shape=out_shape,
+        grid=(b, d // zb),
+        in_specs=_x_specs(m, w2, lanes, n_seg, zb) + [tail_in[0]],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((m, k // _n_chunks(cin_splits)), acc_dtype)
+        ],
+        interpret=interpret,
+    )(*ins, tail_in[1])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "cin_splits", "interpret")
+)
+def _nb_conv_fwd(xs, k3, h, w, cin_splits, interpret=False):
+    h2, w2 = h // 2, w // 2
+    m = h2 * w2
+    b, d = xs[0].shape[0], xs[0].shape[1]
+    cout = k3.shape[-1]
+    lo = 4 * cout
+    k = _k_dim(cin_splits)
+    dt = xs[0].dtype
+    zb = _z_block(d, cin_splits)
+    xps = tuple(_pad_blocked(xb, w2) for xb in xs)
+    wp = _pack_weights_fn(cin_splits, cout)(k3).astype(dt)
+    wspec = pl.BlockSpec((k, lo), lambda bi, zi: (0, 0),
+                         memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, zb, m, lo), lambda bi, zi: (bi, zi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return _grid_call(
+        _fwd_kernel, h2, w2, cin_splits, xps, (wspec, wp),
+        jax.ShapeDtypeStruct((b, d, m, lo), dt), out_spec, dt, interpret,
+        zb,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "cin_splits", "interpret")
+)
+def _nb_conv_dw(xs, g, h, w, cin_splits, interpret=False):
+    h2, w2 = h // 2, w // 2
+    m = h2 * w2
+    cout = g.shape[-1] // 4
+    lo = 4 * cout
+    k = _k_dim(cin_splits)
+    dt = xs[0].dtype
+    zb = _z_block(xs[0].shape[1], cin_splits, for_dw=True)
+    xps = tuple(_pad_blocked(xb, w2) for xb in xs)
+    gspec = pl.BlockSpec((1, zb, m, lo), lambda bi, zi: (bi, zi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((k, lo), lambda bi, zi: (0, 0),
+                            memory_space=pltpu.VMEM)
+    dwp = _grid_call(
+        _dw_kernel, h2, w2, cin_splits, xps, (gspec, g.astype(dt)),
+        jax.ShapeDtypeStruct((k, lo), jnp.float32), out_spec, dt, interpret,
+        zb,
+    )
+    return _unpack_wgrad_fn(cin_splits, cout)(dwp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def nb_conv3d(xs, k3, h, w, cin_splits, interpret=False):
+    """3³ SAME conv (no bias) in natural-phase blocked layout.
+
+    Args:
+      xs: tuple of blocked tensors ``(B, D, h/2·w/2, 4·c_i)`` — more
+        than one element expresses a channel concat without relayout.
+      k3: ``(3, 3, 3, Σc_i, cout)`` taps (DHWIO, the lax convention).
+      h, w: the unblocked y/x extent (static).
+      cin_splits: static tuple of the per-tensor channel counts.
+
+    Returns the blocked output ``(B, D, h/2·w/2, 4·cout)`` — equal to
+    ``to_blocked(lax.conv_general_dilated(from_blocked(x), k3, "SAME"))``.
+    """
+    return _nb_conv_fwd(xs, k3, h, w, cin_splits, interpret)
+
+
+def _vjp_fwd(xs, k3, h, w, cin_splits, interpret):
+    return _nb_conv_fwd(xs, k3, h, w, cin_splits, interpret), (xs, k3)
+
+
+def _dw_xla(xs, g, k3, h, w, cin_splits):
+    """dL/dW via XLA's conv-gradient contraction on unblocked tensors.
+
+    The giant-K dw contraction (K = B·D·H·W) runs at full MXU width in
+    XLA; rebuilding im2col panels in a Pallas kernel for it re-reads
+    every slab three times and loses (measured ~-55 ms/train step on
+    the flagship model vs this path).
+    """
+    xu = jnp.concatenate(
+        [from_blocked(xb, h, w) for xb in xs], axis=-1
+    ).astype(jnp.float32)
+    gu = from_blocked(g, h, w).astype(jnp.float32)
+
+    def fwd_ref(kk):
+        y = jax.lax.conv_general_dilated(
+            xu, kk, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return jnp.vdot(y, gu)
+
+    return jax.grad(fwd_ref)(jnp.zeros_like(k3, jnp.float32))
+
+
+def _vjp_bwd(h, w, cin_splits, interpret, res, g):
+    import os
+
+    xs, k3 = res
+    cout = k3.shape[-1]
+    # dL/dx: same operator, flipped taps, channels transposed. The
+    # blocked layout is self-adjoint so dx comes out blocked, then is
+    # split back onto the input segments.
+    k3_t = jnp.flip(k3, axis=(0, 1, 2)).swapaxes(3, 4)
+    dx_all = _nb_conv_fwd((g,), k3_t, h, w, (cout,), interpret)
+    # dx_all lanes are (p_y, p_x, c) over the *combined* channels;
+    # split back onto per-segment (p_y, p_x, c_i) lane layouts.
+    b, d, m, _ = dx_all.shape
+    cin = sum(cin_splits)
+    dx5 = dx_all.reshape(b, d, m, 4, cin)
+    dxs = []
+    o = 0
+    for c in cin_splits:
+        dxs.append(dx5[..., o:o + c].reshape(b, d, m, 4 * c))
+        o += c
+    if os.environ.get("EXASPIM_NB_DW", "pallas") == "pallas":
+        dk3 = _nb_conv_dw(xs, g, h, w, cin_splits, interpret)
+    else:
+        dk3 = _dw_xla(xs, g, k3, h, w, cin_splits)
+    return tuple(dxs), dk3.astype(k3.dtype)
+
+
+nb_conv3d.defvjp(_vjp_fwd, _vjp_bwd)

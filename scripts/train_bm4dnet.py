@@ -54,8 +54,13 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
     val_ds = CachedValidateDataset(val_cache)
 
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    model = build_model(model_cfg, dtype=dtype) if model_cfg else UNet(
-        width_multiplier=width_multiplier, dtype=dtype
+    # blocked="never": training steps are faster on XLA's fused conv
+    # gradients; the blocked Pallas conv path wins for inference only
+    # (models/unet3d.py Conv notes).
+    model = build_model(
+        model_cfg, dtype=dtype, blocked="never"
+    ) if model_cfg else UNet(
+        width_multiplier=width_multiplier, dtype=dtype, blocked="never"
     )
     mesh = None
     if data_parallel:

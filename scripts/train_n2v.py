@@ -70,7 +70,7 @@ def main(argv=None):
     # all masked-voxel gradients (models/unet3d.py head_init docs).
     model = MODEL_REGISTRY[args.model](
         width_multiplier=args.width, dtype=jnp.bfloat16,
-        head_init="normal",
+        head_init="normal", blocked="never",  # fastest for training
     )
     state = create_train_state(
         model, patch_shape=(P, P, P), lr=args.lr,

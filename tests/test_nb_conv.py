@@ -1,0 +1,278 @@
+"""Natural-phase blocked conv vs lax.conv_general_dilated (interpret).
+
+Pins the panel/packing algebra of exaspim_tpu/ops/nb_conv.py on the CPU
+interpreter; the real-TPU path is exercised by scripts/nb_bench.py and
+the model-level blocked tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exaspim_tpu.ops.nb_conv import (
+    from_blocked,
+    nb_conv3d,
+    supports_nb_conv,
+    to_blocked,
+)
+
+
+def _ref(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def test_blocked_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 3, 32, 48, 5)).astype(np.float32))
+    xb = to_blocked(x)
+    assert xb.shape == (2, 3, 16 * 24, 20)
+    np.testing.assert_array_equal(np.asarray(from_blocked(xb, 32, 48)),
+                                  np.asarray(x))
+
+
+@pytest.mark.parametrize("cin,cout,shape", [
+    (32, 32, (1, 4, 32, 32)),
+    (32, 64, (2, 2, 32, 48)),
+    (64, 32, (1, 2, 48, 32)),
+])
+def test_nb_conv_matches_lax(cin, cout, shape):
+    b, d, h, w = shape
+    assert supports_nb_conv(h, w, (cin,))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, d, h, w, cin)).astype(np.float32))
+    k = jnp.asarray(
+        (rng.normal(size=(3, 3, 3, cin, cout)) * 0.05).astype(np.float32)
+    )
+    got = from_blocked(
+        nb_conv3d((to_blocked(x),), k, h, w, (cin,), True), h, w
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_ref(x, k)), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_nb_conv_concat_segments_match_lax():
+    """Two blocked inputs = conv of their channel concat, no relayout."""
+    b, d, h, w, ca, cb, cout = 1, 2, 32, 32, 32, 32, 32
+    rng = np.random.default_rng(1)
+    xa = jnp.asarray(rng.normal(size=(b, d, h, w, ca)).astype(np.float32))
+    xc = jnp.asarray(rng.normal(size=(b, d, h, w, cb)).astype(np.float32))
+    k = jnp.asarray(
+        (rng.normal(size=(3, 3, 3, ca + cb, cout)) * 0.05).astype(np.float32)
+    )
+    got = from_blocked(
+        nb_conv3d((to_blocked(xa), to_blocked(xc)), k, h, w, (ca, cb), True),
+        h, w,
+    )
+    want = _ref(jnp.concatenate([xa, xc], axis=-1), k)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_nb_conv_grads_match_lax():
+    b, d, h, w, cin, cout = 1, 2, 32, 32, 32, 32
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(b, d, h, w, cin)).astype(np.float32))
+    k = jnp.asarray(
+        (rng.normal(size=(3, 3, 3, cin, cout)) * 0.05).astype(np.float32)
+    )
+
+    def loss_p(x, k):
+        y = nb_conv3d((to_blocked(x),), k, h, w, (cin,), True)
+        return jnp.sum(from_blocked(y, h, w) ** 2)
+
+    def loss_r(x, k):
+        return jnp.sum(_ref(x, k) ** 2)
+
+    gx_p, gk_p = jax.grad(loss_p, argnums=(0, 1))(x, k)
+    gx_r, gk_r = jax.grad(loss_r, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(
+        np.asarray(gx_p), np.asarray(gx_r), atol=1e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(gk_p), np.asarray(gk_r), atol=1e-3, rtol=1e-3
+    )
+
+
+def test_nb_conv_concat_grads_split_correctly():
+    b, d, h, w, ca, cb, cout = 1, 2, 32, 32, 32, 64, 32
+    rng = np.random.default_rng(3)
+    xa = jnp.asarray(rng.normal(size=(b, d, h, w, ca)).astype(np.float32))
+    xc = jnp.asarray(rng.normal(size=(b, d, h, w, cb)).astype(np.float32))
+    k = jnp.asarray(
+        (rng.normal(size=(3, 3, 3, ca + cb, cout)) * 0.05).astype(np.float32)
+    )
+
+    def loss_p(xa, xc, k):
+        y = nb_conv3d(
+            (to_blocked(xa), to_blocked(xc)), k, h, w, (ca, cb), True
+        )
+        return jnp.sum(from_blocked(y, h, w) ** 2)
+
+    def loss_r(xa, xc, k):
+        return jnp.sum(_ref(jnp.concatenate([xa, xc], axis=-1), k) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(xa, xc, k)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(xa, xc, k)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3
+        )
+
+
+def test_conv_module_blocked_matches_xla():
+    """models.unet3d.Conv: Blocked input == array input, same params."""
+    import jax.numpy as jnp
+
+    from exaspim_tpu.models.unet3d import Conv
+    from exaspim_tpu.ops.nb_conv import Blocked
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 2, 64, 64, 32)).astype(np.float32))
+    m = Conv(32)
+    params = m.init(jax.random.key(0), x)
+    y_x = m.apply(params, x)
+    y_b = m.apply(params, Blocked.block(x))
+    np.testing.assert_allclose(
+        np.asarray(y_b.unblock()), np.asarray(y_x), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_groupnorm_module_blocked_matches_flax():
+    """Custom layout-polymorphic GroupNorm == nn.GroupNorm numerics."""
+    import flax.linen as fnn
+    import jax.numpy as jnp
+
+    from exaspim_tpu.models.unet3d import GroupNorm
+    from exaspim_tpu.ops.nb_conv import Blocked
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(
+        rng.normal(2.0, 3.0, (2, 3, 8, 12, 16)).astype(np.float32)
+    )
+    ref = fnn.GroupNorm(num_groups=8, epsilon=1e-5,
+                        param_dtype=jnp.float32)
+    mine = GroupNorm(num_groups=8, epsilon=1e-5)
+    params = ref.init(jax.random.key(0), x)
+    params = jax.tree_util.tree_map(
+        lambda v: v + 0.1, params
+    )  # non-trivial scale/bias
+    want = ref.apply(params, x)
+    got = mine.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    got_b = mine.apply(params, Blocked.block(x))
+    np.testing.assert_allclose(
+        np.asarray(got_b.unblock()), np.asarray(want),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_unet_forward_blocked_force_matches_never():
+    """Full flagship UNet: blocked span == plain XLA execution.
+
+    Covers pack placement, blocked GroupNorm/LeakyReLU, blocked pool,
+    the segment-concat decoder conv, and the blocked 1×1 head.
+    """
+    import jax.numpy as jnp
+
+    from exaspim_tpu.models import UNet
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(
+        rng.normal(0.5, 0.1, (1, 16, 64, 64, 1)).astype(np.float32)
+    )
+    m_n = UNet(width_multiplier=1.0, head_init="normal", blocked="never")
+    m_f = UNet(width_multiplier=1.0, head_init="normal", blocked="force")
+    params = m_n.init(jax.random.key(0), x)
+    y_n = m_n.apply(params, x)
+    y_f = m_f.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_f), np.asarray(y_n), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_resize_trilinear_blocked_matches_plain():
+    import jax.numpy as jnp
+
+    from exaspim_tpu.models.unet3d import (
+        resize_trilinear, resize_trilinear_blocked,
+    )
+    from exaspim_tpu.ops.nb_conv import to_blocked
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 3, 8, 12, 5)).astype(np.float32))
+    for ac in (False, True):
+        got = resize_trilinear_blocked(x, ac)
+        want = to_blocked(resize_trilinear(x, (6, 16, 24), ac))
+        np.testing.assert_allclose(
+            np.asarray(got.data), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+        assert (got.h, got.w) == (16, 24)
+
+
+def test_nb_conv_small_cin_matches_lax():
+    """Small-mode kernel (full tap groups) for the 1-channel entry conv."""
+    b, d, h, w, cin, cout = 1, 3, 32, 32, 1, 32
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(b, d, h, w, cin)).astype(np.float32))
+    k = jnp.asarray(
+        (rng.normal(size=(3, 3, 3, cin, cout)) * 0.1).astype(np.float32)
+    )
+    assert supports_nb_conv(h, w, (cin,))
+    got = from_blocked(
+        nb_conv3d((to_blocked(x),), k, h, w, (cin,), True), h, w
+    )
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_max_pool3d_blocked_matches_plain():
+    import jax.numpy as jnp
+
+    from exaspim_tpu.models.unet3d import max_pool3d, max_pool3d_blocked
+    from exaspim_tpu.ops.nb_conv import Blocked
+
+    rng = np.random.default_rng(7)
+    for d in (4, 5):  # even and odd z (odd trailing slab dropped)
+        x = jnp.asarray(
+            rng.normal(size=(2, d, 16, 24, 8)).astype(np.float32)
+        )
+        got = max_pool3d_blocked(Blocked.block(x))
+        want = max_pool3d(x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_unet_param_tree_independent_of_blocked():
+    """Checkpoint compatibility: blocked dispatch never changes params."""
+    import jax.numpy as jnp
+
+    from exaspim_tpu.models import UNet
+
+    x = jnp.zeros((1, 16, 16, 16, 1), jnp.float32)
+    p_a = UNet(width_multiplier=0.25, blocked="auto").init(
+        jax.random.key(0), x)
+    p_n = UNet(width_multiplier=0.25, blocked="never").init(
+        jax.random.key(0), x)
+    fa = jax.tree_util.tree_flatten_with_path(p_a)[0]
+    fn = jax.tree_util.tree_flatten_with_path(p_n)[0]
+    assert [(k, v.shape) for k, v in fa] == [(k, v.shape) for k, v in fn]
+    for (_, a), (_, b) in zip(fa, fn):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_supports_gate():
+    assert not supports_nb_conv(30, 32, (32,))   # y not 16-aligned
+    assert not supports_nb_conv(32, 32, (48,))   # channels not 32-mult
+    assert not supports_nb_conv(16, 16, (32,))   # M too small
+    assert supports_nb_conv(64, 64, (32, 32))
