@@ -519,6 +519,12 @@ class UNet(nn.Module):
     #: the reference's torch Upsample(align_corners=True) exactly (used
     #: by the torch↔Flax parity oracle).
     align_corners: bool = False
+    #: True (reference behavior, unet3d.py:131-133): ``output = input +
+    #: logits``. False: the head's logits ARE the output — required for
+    #: blind-spot (Noise2Void) training, where the residual form learns
+    #: ``target − substituted_center`` and misfires on unmasked inputs
+    #: at inference (measured: PSNR collapses 54 → 25 dB).
+    residual: bool = True
     #: Conv dispatch (execution detail, NOT part of ``config``):
     #: "auto" uses the MXU-blocked Pallas conv on TPU where it wins,
     #: "never" forces plain XLA convs, "force" runs the blocked kernel
@@ -552,6 +558,7 @@ class UNet(nn.Module):
             "base_channels": list(self.base_channels),
             "head_init": self.head_init,
             "align_corners": self.align_corners,
+            "residual": self.residual,
         }
 
     @nn.compact
@@ -593,6 +600,8 @@ class UNet(nn.Module):
         logits = head(x)
         if isinstance(logits, Blocked):
             logits = logits.unblock()
+        if not self.residual:
+            return logits.astype(xin.dtype)
         return xin + logits.astype(xin.dtype)
 
 
@@ -654,6 +663,8 @@ class N2V2UNet(UNet):
             pads.append((0, 0))
             x = jnp.pad(x, pads)
             logits = head(x)
+        if not self.residual:
+            return logits.astype(xin.dtype)
         return xin + logits.astype(xin.dtype)
 
 

@@ -62,8 +62,12 @@ def main():
 
         @jax.jit
         def fwd(params, x):
-            st, _ = step(state, x, y, fg)
-            return jax.tree_util.tree_leaves(st.params)[0]
+            st, loss = step(state, x, y, fg)
+            # checksum over EVERY param leaf so no gradient is DCE'd
+            acc = loss.astype(jnp.float32)
+            for leaf in jax.tree_util.tree_leaves(st.params):
+                acc = acc + jnp.sum(leaf.astype(jnp.float32))
+            return acc
     else:
         @jax.jit
         def fwd(params, x):

@@ -68,9 +68,14 @@ def main(argv=None):
     )
     # Blind-spot training needs a non-identity start: zero head blocks
     # all masked-voxel gradients (models/unet3d.py head_init docs).
+    # residual=False: blind-spot training must predict the VALUE — the
+    # residual form learns `target − substituted_center`, which misfires
+    # on unmasked inputs at inference (PSNR collapsed 54→25 dB when
+    # this script used the residual head; see UNet.residual docs).
     model = MODEL_REGISTRY[args.model](
         width_multiplier=args.width, dtype=jnp.bfloat16,
-        head_init="normal", blocked="never",  # fastest for training
+        head_init="normal", residual=False,
+        blocked="never",  # fastest for training
     )
     state = create_train_state(
         model, patch_shape=(P, P, P), lr=args.lr,

@@ -56,6 +56,11 @@ def test_config_roundtrip_and_registry():
         assert rebuilt.width_multiplier == 0.25
     with pytest.raises(ValueError):
         build_model({"model": "NoSuchNet"})
+    # residual=False (value-prediction head, N2V) survives the round trip;
+    # configs from older checkpoints without the key default to residual.
+    m = build_model(UNet(residual=False).config)
+    assert m.residual is False
+    assert build_model({"model": "UNet"}).residual is True
 
 
 def test_width_multiplier_validation():
