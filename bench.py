@@ -196,6 +196,48 @@ def main():
         cratio_gain >= MIN_CRATIO_GAIN and ssim_den >= ssim_noisy
     ) if trained else False
 
+    # --- Secondary: training throughput (voxels/sec through one jitted
+    # train step, batch 32 × 64³, XLA conv path — the training default).
+    # Best-effort: skipped rather than failing the bench.
+    train_voxsec = None
+    try:
+        from exaspim_tpu.models import UNet as _UNet
+        from exaspim_tpu.train import create_train_state
+        from exaspim_tpu.train.state import make_train_step
+
+        tmodel = _UNet(width_multiplier=1.0, dtype=jnp.bfloat16,
+                       blocked="never")
+        tstate = create_train_state(
+            tmodel, patch_shape=(PATCH,) * 3, lr=1e-4, total_steps=100,
+            seed=0,
+        )
+        tstep = make_train_step(fg_weight=20.0, donate=False)
+        xb = jnp.asarray(
+            np.random.default_rng(0).normal(
+                0.5, 0.1, (BATCH, PATCH, PATCH, PATCH, 1)
+            ),
+            jnp.float32,
+        )
+        fgb = jnp.zeros(xb.shape, bool)
+
+        @jax.jit
+        def _chain(st, x, y, fg):
+            def body(_, s):
+                s2, _l = tstep(s, x, y, fg)
+                return s2
+            st = jax.lax.fori_loop(0, 8, body, st)
+            return jnp.sum(
+                jax.tree_util.tree_leaves(st.params)[0].astype(jnp.float32)
+            )
+
+        float(_chain(tstate, xb, xb * 0.9, fgb))  # compile + run
+        t0 = time.perf_counter()
+        float(_chain(tstate, xb, xb * 0.9, fgb))
+        step_s = (time.perf_counter() - t0) / 8
+        train_voxsec = BATCH * PATCH ** 3 / step_s
+    except Exception:  # noqa: BLE001 — secondary metric only
+        pass
+
     baseline = _baseline()
     print(json.dumps({
         "metric": "bm4dnet_tiled_inference_256c_uint16",
@@ -221,6 +263,9 @@ def main():
         "ssim_noisy": round(ssim_noisy, 4),
         "ssim_denoised": round(ssim_den, 4),
         "quality_ok": quality_ok,
+        "train_voxels_per_sec": (
+            round(train_voxsec, 1) if train_voxsec else None
+        ),
         "n_devices": len(jax.devices()),
     }))
     if trained and not quality_ok:

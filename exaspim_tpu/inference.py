@@ -195,7 +195,8 @@ def _parity_canvas(blocks, grid_dims, stride, patch, vol_shape):
 
 @functools.lru_cache(maxsize=32)
 def _tiled_program(apply_fn, transform, vol_shape, orig_shape, patch,
-                   stride, batch, trim, grid_dims, return_float):
+                   stride, batch, trim, grid_dims, return_float,
+                   output_clip=None):
     """Build + jit the full tiled-inference program for one geometry.
 
     The ENTIRE datapath — forward intensity transform, pad, patch
@@ -209,6 +210,10 @@ def _tiled_program(apply_fn, transform, vol_shape, orig_shape, patch,
 
     def run(params, raw, starts):
         x = transform.forward(raw.astype(jnp.float32))
+        if output_clip == "input":
+            clip_lo, clip_hi = jnp.min(x), jnp.max(x)
+        elif output_clip is not None:
+            clip_lo, clip_hi = output_clip
         x = jnp.pad(
             x, [(0, p - s) for p, s in zip(vol_shape, orig_shape)]
         )
@@ -220,6 +225,13 @@ def _tiled_program(apply_fn, transform, vol_shape, orig_shape, patch,
                 lambda st: jax.lax.dynamic_slice(x, st, (P, P, P))
             )(batch_starts)
             pred = apply_fn(params, patches[..., None])[..., 0]
+            if output_clip is not None:
+                # Clamp in the transform domain: self-supervised models
+                # can overshoot at rare bright voxels, and an asinh-type
+                # inverse amplifies a +0.3 overshoot into a 65535 clamp
+                # (sinh explosion). Denoising never needs to exceed the
+                # observed input range.
+                pred = jnp.clip(pred, clip_lo, clip_hi)
             masks = jax.vmap(
                 lambda g: trim_weight_mask(g, P, trim, orig_shape)
             )(batch_starts)
@@ -253,7 +265,7 @@ def _model_apply(model):
 
 def predict(img, model, params, transform, patch_size=64, overlap=12,
             trim=5, batch_size=32, max_device_voxels=640**3,
-            return_float=False):
+            return_float=False, output_clip=None):
     """Denoise a whole volume; returns uint16 counts.
 
     ``img`` is a 3D (or squeezable 5D) uint16/float volume in raw counts.
@@ -282,7 +294,7 @@ def predict(img, model, params, transform, patch_size=64, overlap=12,
     if int(np.prod(img.shape)) > max_device_voxels:
         return _predict_streaming(
             img, model, params, transform, patch_size, overlap, trim,
-            batch_size, max_device_voxels, return_float,
+            batch_size, max_device_voxels, return_float, output_clip,
         )
 
     starts = generate_patch_starts(img.shape, patch_size, overlap)
@@ -308,12 +320,16 @@ def predict(img, model, params, transform, patch_size=64, overlap=12,
     program = _tiled_program(
         apply_fn, transform, padded_shape, img.shape, patch_size,
         stride, batch_size, trim, grid_dims, bool(return_float),
+        output_clip if output_clip is None else (
+            "input" if output_clip == "input" else tuple(output_clip)
+        ),
     )
     return np.asarray(program(params, jnp.asarray(img), jnp.asarray(starts)))
 
 
 def _predict_streaming(img, model, params, transform, patch_size, overlap,
-                       trim, batch_size, max_device_voxels, return_float):
+                       trim, batch_size, max_device_voxels, return_float,
+                       output_clip=None):
     """Stream super-tiles with a patch-wide halo for huge volumes.
 
     Each super-tile is denoised independently with a ``>= patch_size``
@@ -338,6 +354,7 @@ def _predict_streaming(img, model, params, transform, patch_size, overlap,
         res = predict(
             block, model, params, transform, patch_size, overlap, trim,
             batch_size, max_device_voxels=2**63, return_float=return_float,
+            output_clip=output_clip,
         )
         out[z0:z1] = res[z0 - lo:z0 - lo + (z1 - z0)]
     return out

@@ -107,8 +107,11 @@ def main(argv=None):
     # Held-out evaluation (clean known only to the evaluator).
     clean, _ = neurite_phantom((128, 128, 128), n_tubes=16, seed=991)
     noisy = noisy_observation(clean, seed=992)
+    # output_clip: self-supervised predictions can overshoot in the
+    # transform domain; an asinh inverse amplifies overshoot at bright
+    # voxels into 65535 clamps (measured: PSNR 1.2 dB without the clamp).
     den = predict(noisy, model, state.params, t, patch_size=P,
-                  overlap=12, trim=5, batch_size=8)
+                  overlap=12, trim=5, batch_size=8, output_clip="input")
     codec = best_codec(clevel=6)
     drange = float(clean.max())
     summary = {

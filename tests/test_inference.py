@@ -121,3 +121,31 @@ def test_build_volume_transform_prefers_offset():
     img = np.full((8, 8, 8), 50, np.uint16)
     vt2 = build_volume_transform(t, img=img)
     assert vt2.mn == 50.0
+
+
+def test_predict_output_clip_input_range():
+    """output_clip="input" bounds the denoised counts by the observed
+    input range — guards self-supervised models against transform-domain
+    overshoot exploding through an asinh-type inverse."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from exaspim_tpu.inference import predict
+    from exaspim_tpu.models import UNet
+    from exaspim_tpu.transforms import build_transform
+
+    model = UNet(width_multiplier=0.25, head_init="normal",
+                 residual=False, blocked="never")
+    rng = np.random.default_rng(0)
+    vol = (rng.poisson(50, (20, 20, 20)) + 100).astype(np.uint16)
+    t = build_transform(
+        {"kind": "asinh", "params": {"offset": 100.0, "scale": 20.0}}
+    )
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1))
+    )["params"]
+    out = predict(vol, model, params, t, patch_size=16, overlap=8,
+                  trim=2, batch_size=4, output_clip="input")
+    assert out.max() <= vol.max() + 1
+    assert out.min() >= max(int(vol.min()) - 1, 0)
