@@ -371,7 +371,7 @@ def _z_block(d, cin_splits, for_dw=False):
     if for_dw:
         cap = 1 if len(cin_splits) > 1 else 2
     else:
-        cap = 2 if len(cin_splits) > 1 else 4
+        cap = 4
     for zb in (cap, 2, 1):
         if d % zb == 0:
             return zb
