@@ -62,32 +62,34 @@ def _group_dct(groups, mat, inverse=False):
     return jnp.einsum("ij,...jabc->...iabc", m, groups)
 
 
-def _ref_grid(dim, block, step):
-    """Reference-block start coordinates covering [0, dim-block]."""
-    last = dim - block
-    starts = list(range(0, last + 1, step))
-    if starts[-1] != last:
-        starts.append(last)
-    return np.asarray(starts, np.int32)
+def _strided_box_sum(x, size, stride):
+    """Valid-mode box sum over a cube window, separably (3 × 1D),
+    subsampled to every ``stride``-th window start per axis.
 
-
-def _box_sum(x, size):
-    """Valid-mode box sum over a cube window, separably (3 × 1D)."""
+    Striding inside ``reduce_window`` computes the distance field
+    directly at reference-grid resolution: the first axis pass already
+    drops the data volume by ``stride``×, and no gather of grid rows is
+    needed afterwards (a ``jnp.take`` here lowers to element-wise
+    while loops on TPU and dominated the matching profile).
+    """
     for axis in range(3):
         window = [1, 1, 1]
         window[axis] = size
+        strides = [1, 1, 1]
+        strides[axis] = stride
         x = jax.lax.reduce_window(
-            x, 0.0, jax.lax.add, tuple(window), (1, 1, 1), "VALID"
+            x, 0.0, jax.lax.add, tuple(window), tuple(strides), "VALID"
         )
     return x
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block", "group", "step", "search", "mode"),
+    static_argnames=("block", "group", "step", "search", "mode",
+                     "matcher"),
 )
 def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
-               mode="hard"):
+               mode="hard", matcher="auto"):
     """One BM4D pass over ``noisy``; groups are matched on ``guide``.
 
     mode="hard": hard-threshold coefficients at 2.7σ (stage 1).
@@ -95,65 +97,89 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
     estimate (stage 2).
     Returns the aggregated estimate (same shape, float32).
 
-    Block matching is fully vectorized for the TPU: for every window
-    offset, the per-reference block distance field is a shifted squared
-    difference box-summed by ``reduce_window`` (dense VPU work, no
+    Block matching (``matcher="xla"``) is fully vectorized for the
+    TPU: for every window offset, the per-reference block distance
+    field is a shifted squared difference box-summed by a *strided*
+    ``reduce_window`` at reference-grid resolution (dense VPU work, no
     per-reference gathers); ``top_k`` over the offset axis picks each
-    group, and group voxels come back as whole block-rows from a
-    conv-extracted patch view.
+    group. ``matcher="pallas"`` (the "auto" default on TPU) fuses the
+    distance sweep and the top-K selection into VMEM-resident Pallas
+    kernels (:mod:`exaspim_tpu.ops.pallas_bm4d`) — the guide is read
+    ~once instead of once per offset. Either way, group voxels come
+    back as whole block-rows from a conv-extracted patch view.
     """
-    Z, Y, X = noisy.shape
+    Z0, Y0, X0 = noisy.shape
     B, K, W = block, group, search
     half = W // 2
     noisy = noisy.astype(jnp.float32)
     guide = guide.astype(jnp.float32)
+
+    # Regularize the reference grid: reflect-pad each tail so
+    # (dim - B) is a multiple of ``step``. The grid is then perfectly
+    # strided, so the per-offset distance field can be computed by a
+    # *strided* reduce_window at grid resolution (no ragged last row,
+    # no grid gather). Final results are cropped back to the input
+    # shape; tail references whose blocks dip into the (≤ step-1 voxel)
+    # reflected margin are an approximation the aggregation weights
+    # wash out.
+    tails = tuple((-(d - B)) % step for d in (Z0, Y0, X0))
+    noisy = jnp.pad(noisy, [(0, t) for t in tails], mode="reflect")
+    guide = jnp.pad(guide, [(0, t) for t in tails], mode="reflect")
+    Z, Y, X = noisy.shape
 
     # Reflect-pad the matching guide so every shifted copy around any
     # in-bounds reference is valid in padded coordinates.
     pad = half
     gpad = jnp.pad(guide, pad, mode="reflect")
 
-    zs, ys, xs = (_ref_grid(d, B, step) for d in (Z, Y, X))
+    zs, ys, xs = (np.arange(0, d - B + 1, step, dtype=np.int32)
+                  for d in (Z, Y, X))
     grid = np.stack(
         [g.ravel() for g in np.meshgrid(zs, ys, xs, indexing="ij")],
         axis=-1,
     )
-    refs = jnp.asarray(grid)  # (R, 3) starts in original coords
-    offs_np = np.stack(
-        [g.ravel() for g in np.meshgrid(*([np.arange(W) - half] * 3),
-                                        indexing="ij")],
-        axis=-1,
-    ).astype(np.int32)
-    offs = jnp.asarray(offs_np)  # (C, 3) window offsets
+    refs = jnp.asarray(grid)  # (R, 3) starts in padded coords
 
-    zs_j, ys_j, xs_j = (jnp.asarray(a) for a in (zs, ys, xs))
+    if matcher == "auto":
+        matcher = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if matcher == "pallas":
+        from exaspim_tpu.ops.pallas_bm4d import match_topk
 
-    def dist_for_offset(off):
-        # Shifted copy of the guide: g(v + off) for all v in original
-        # coords; slicing the padded volume keeps everything in-bounds.
-        shifted = jax.lax.dynamic_slice(
-            gpad, (off[0] + pad, off[1] + pad, off[2] + pad),
-            (Z, Y, X),
+        idx, offs = match_topk(
+            guide, block=B, group=K, step=step, search=W
         )
-        d2_field = _box_sum((guide - shifted) ** 2, B)  # (Z-B+1, …)
-        # Per-axis row gathers over the regular ref grid (no scalar
-        # gather: each take pulls contiguous planes/rows).
-        sub = jnp.take(d2_field, zs_j, axis=0)
-        sub = jnp.take(sub, ys_j, axis=1)
-        sub = jnp.take(sub, xs_j, axis=2)
-        return sub.reshape(-1)  # (R,)
+    else:
+        offs_np = np.stack(
+            [g.ravel()
+             for g in np.meshgrid(*([np.arange(W) - half] * 3),
+                                  indexing="ij")],
+            axis=-1,
+        ).astype(np.int32)
+        offs = jnp.asarray(offs_np)  # (C, 3) window offsets
 
-    # (C, R) distance table; scanned over offset batches to bound the
-    # transient full-volume diff fields.
-    d2 = jax.lax.map(dist_for_offset, offs, batch_size=49)
-    # Tie-break toward the reference block: flat regions tie every
-    # candidate, and top_k must then prefer near offsets or coverage
-    # collapses to one window corner. The penalty is ≪ any real
-    # distance difference.
-    off_norm2 = jnp.sum(offs.astype(jnp.float32) ** 2, axis=1)
-    tie_eps = 1e-6 * (jnp.mean(d2) + 1.0)
-    d2 = d2 + tie_eps * off_norm2[:, None]
-    _, idx = jax.lax.top_k(-d2.T, K)  # (R, K) best offset indices
+        def dist_for_offset(off):
+            # Shifted copy of the guide: g(v + off) for all v in
+            # original coords; slicing the padded volume keeps
+            # everything in-bounds.
+            shifted = jax.lax.dynamic_slice(
+                gpad, (off[0] + pad, off[1] + pad, off[2] + pad),
+                (Z, Y, X),
+            )
+            d2_field = _strided_box_sum((guide - shifted) ** 2, B, step)
+            return d2_field.reshape(-1)  # (R,) grid-resolution field
+
+        # (C, R) distance table; scanned over offset batches to bound
+        # the transient full-volume diff fields.
+        d2 = jax.lax.map(dist_for_offset, offs, batch_size=49)
+        # Tie-break toward the reference block: flat regions tie every
+        # candidate, and top_k must then prefer near offsets or
+        # coverage collapses to one window corner. The per-reference
+        # penalty scale is ≪ any real distance difference (same rule
+        # as the Pallas selection kernel).
+        off_norm2 = jnp.sum(offs.astype(jnp.float32) ** 2, axis=1)
+        tie_eps = 1e-6 * (jnp.mean(d2, axis=0, keepdims=True) + 1.0)
+        d2 = d2 + tie_eps * off_norm2[:, None]
+        _, idx = jax.lax.top_k(-d2.T, K)  # (R, K) best offset indices
 
     sel = refs[:, None, :] + offs[idx]  # (R, K, 3) starts, original coords
     # Clamp near-border candidates into the volume (the classical
@@ -201,49 +227,73 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
     )  # (R, K, B, B, B)
 
     # Overlap-add aggregation: scatter weighted block-rows onto the
-    # start-indexed row accumulator (row scatter, not scalar scatter),
-    # then fold rows back to voxel space with B³ dense shifted adds.
+    # start-indexed row accumulator (row scatter, not scalar scatter).
+    # The scatter is z-chunked so each operand stays under ~400 MB:
+    # XLA's TPU layout assignment flips large scatter operands to a
+    # window-major layout (observed at ≥127³ rows; ≤126³ stays
+    # channels-minor) and each contiguous B³-row write then becomes B³
+    # 8MB-strided element writes — 248 ms vs 17 ms at 128³. Explicit
+    # layout constraints, jit splits, and transposes are all
+    # elided/overridden; keeping every chunk below the flip threshold
+    # is the only arrangement that reliably survives. Out-of-chunk
+    # updates are masked to an out-of-bounds row and dropped.
     w = wgt[:, None, None]
     filt_rows = filt.reshape(-1, K, B * B * B) * w
     rows_shape = (Z - B + 1, Y - B + 1, X - B + 1)
-    acc_rows = jnp.zeros((*rows_shape, B * B * B), jnp.float32)
-    acc_rows = acc_rows.at[sz, sy, sx].add(filt_rows)
+    rz, ry, rx = rows_shape
+    nrow = B * B * B
+    chunk_bytes = 400e6
+    nchunks = max(1, int(np.ceil(rz * ry * rx * nrow * 4 / chunk_bytes)))
+    zchunk = int(np.ceil(rz / nchunks))
+    parts = []
+    for ci in range(nchunks):
+        z0 = ci * zchunk
+        zc = min(zchunk, rz - z0)
+        in_chunk = (sz >= z0) & (sz < z0 + zc)
+        zi = jnp.where(in_chunk, sz - z0, zc)  # zc is OOB → dropped
+        acc_c = jnp.zeros((zc, ry, rx, nrow), jnp.float32)
+        parts.append(
+            acc_c.at[zi, sy, sx].add(
+                filt_rows, mode="drop", unique_indices=False
+            )
+        )
+    acc_rows = (
+        parts[0] if nchunks == 1 else jnp.concatenate(parts, axis=0)
+    )
     wgt_rows = jnp.zeros(rows_shape, jnp.float32)
     wgt_rows = wgt_rows.at[sz, sy, sx].add(
         jnp.broadcast_to(wgt[:, None], sz.shape)
     )
 
-    # Fold rows back to voxel space: out[v] = Σ_i rows[v − δᵢ][i]. A
-    # fori_loop keeps the HLO small (an unrolled B³-term sum compiles
-    # for minutes on the host-side AOT compiler).
+    # Fold rows back to voxel space: out[v] = Σ_i rows[v − δᵢ][i] via a
+    # fori_loop of dense shifted adds (an unrolled B³-term sum compiles
+    # for minutes on the host-side AOT compiler). The channel-plane
+    # reads go through an explicit transpose of the accumulator.
+    acc_cols = jnp.swapaxes(acc_rows.reshape(-1, nrow), 0, 1)
     deltas = jnp.asarray([
         (dz, dy, dx)
         for dz in range(B) for dy in range(B) for dx in range(B)
     ], jnp.int32)
-    rz, ry, rx = rows_shape
 
-    def fold(i, carry):
-        accum, weight = carry
+    def fold(i, accum):
         d = deltas[i]
-        cur_a = jax.lax.dynamic_slice(accum, d, (rz, ry, rx))
-        accum = jax.lax.dynamic_update_slice(
-            accum, cur_a + acc_rows[..., i], d
-        )
-        cur_w = jax.lax.dynamic_slice(weight, d, (rz, ry, rx))
-        weight = jax.lax.dynamic_update_slice(
-            weight, cur_w + wgt_rows, d
-        )
-        return accum, weight
+        plane = acc_cols[i].reshape(rz, ry, rx)
+        cur = jax.lax.dynamic_slice(accum, d, (rz, ry, rx))
+        return jax.lax.dynamic_update_slice(accum, cur + plane, d)
 
-    accum, weight = jax.lax.fori_loop(
-        0, B * B * B, fold,
-        (jnp.zeros_like(noisy), jnp.zeros_like(noisy)),
+    accum = jax.lax.fori_loop(
+        0, B * B * B, fold, jnp.zeros((Z, Y, X), jnp.float32)
     )
-    return accum / (weight + 1e-12)
+    # Weight fold: every row contributes its scalar weight to all B³
+    # voxels it covers — a box sum of the full-padded weight field.
+    weight = _strided_box_sum(
+        jnp.pad(wgt_rows, [(B - 1, B - 1)] * 3), B, 1
+    )
+    return (accum / (weight + 1e-12))[:Z0, :Y0, :X0]
 
 
 def bm4d_batch(vols, sigma, block=4, group=16, step=3, search=9,
-               two_stage=True):
+               two_stage=True, matcher="auto"):
     """Denoise a batch of equal-shape volumes in one XLA program.
 
     ``lax.map`` over :func:`bm4d` — one dispatch per batch with
@@ -252,12 +302,13 @@ def bm4d_batch(vols, sigma, block=4, group=16, step=3, search=9,
     """
     fn = functools.partial(
         bm4d, block=block, group=group, step=step, search=search,
-        two_stage=two_stage,
+        two_stage=two_stage, matcher=matcher,
     )
     return jax.lax.map(lambda v: fn(v, sigma), jnp.asarray(vols))
 
 
-def bm4d(vol, sigma, block=4, group=16, step=3, search=9, two_stage=True):
+def bm4d(vol, sigma, block=4, group=16, step=3, search=9, two_stage=True,
+         matcher="auto"):
     """Denoise a 3D volume with BM4D (drop-in for the reference's
     ``bm4d.bm4d(raw, sigma)`` call sites).
 
@@ -270,11 +321,11 @@ def bm4d(vol, sigma, block=4, group=16, step=3, search=9, two_stage=True):
     sigma = jnp.float32(sigma)
     basic = bm4d_stage(
         vol, vol, sigma, block=block, group=group, step=step,
-        search=search, mode="hard",
+        search=search, mode="hard", matcher=matcher,
     )
     if not two_stage:
         return basic
     return bm4d_stage(
         vol, basic, sigma, block=block, group=group, step=step,
-        search=search, mode="wiener",
+        search=search, mode="wiener", matcher=matcher,
     )
