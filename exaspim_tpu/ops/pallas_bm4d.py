@@ -106,7 +106,7 @@ def _match_kernel(*refs, B, W, step, Y, X, gy, gx, cchunk, gyp, gxp):
                 )
 
 
-def _select_kernel(d2_ref, norm2_ref, out_ref, *, K, W, cchunk):
+def _select_kernel(d2_ref, out_ref, *, K, W, cchunk):
     """Iterative masked-argmin top-K over one column chunk.
 
     Applies the near-offset tie-break (per-column scale) before
@@ -114,16 +114,23 @@ def _select_kernel(d2_ref, norm2_ref, out_ref, *, K, W, cchunk):
     prefer near offsets or coverage collapses to a window corner.
     Padded offset rows (c mod cchunk ≥ W²) carry zeros from the match
     kernel; they are masked to +inf here (padded *columns* select
-    garbage that the caller crops).
+    garbage that the caller crops). The per-offset ‖Δ‖² penalty basis
+    is derived from the row index in-kernel — an HBM input for it
+    costs a ~14 ms serialized copy next to the custom-call.
     """
     cp = W * cchunk
+    half = W // 2
     d = d2_ref[0]  # (Cp, ys, xs)
     iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
     pad_row = (iota % cchunk) >= W * W
+    dy = iota // cchunk - half
+    dx = (iota % cchunk) // W - half
+    dz = iota % W - half
+    norm2 = (dy * dy + dx * dx + dz * dz).astype(jnp.float32)
     tie = 1e-6 * (
         jnp.sum(d, axis=0, keepdims=True) / (W * W * W) + 1.0
     )
-    d = d + norm2_ref[...][:, :, None] * tie
+    d = d + norm2 * tie
     d = jnp.where(pad_row, jnp.float32(np.inf), d)
     for j in range(K):
         mn = jnp.min(d, axis=0, keepdims=True)
@@ -220,9 +227,6 @@ def match_topk(guide, block=4, group=16, step=3, search=9,
         interpret=interpret,
     )(*([gk] * nview), py, px)
 
-    norm2 = jnp.asarray(
-        np.sum(offs.astype(np.float32) ** 2, axis=1)[:, None]
-    )
     yb = 8
     idx = pl.pallas_call(
         functools.partial(_select_kernel, K=K, W=W, cchunk=cchunk),
@@ -231,15 +235,13 @@ def match_topk(guide, block=4, group=16, step=3, search=9,
         in_specs=[
             pl.BlockSpec((1, cp, yb, gxp), lambda gi, j: (gi, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cp, 1), lambda gi, j: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, K, yb, gxp), lambda gi, j: (gi, 0, j, 0),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
-    )(d2, norm2)
+    )(d2)
     idx = idx[:, :, :gy, :gx]  # (gz, K, gy, gx)
     idx = jnp.moveaxis(idx, 1, 3).reshape(R, K)
     return idx, jnp.asarray(offs)
