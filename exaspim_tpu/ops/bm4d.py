@@ -281,9 +281,10 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
         cur = jax.lax.dynamic_slice(accum, d, (rz, ry, rx))
         return jax.lax.dynamic_update_slice(accum, cur + plane, d)
 
-    accum = jax.lax.fori_loop(
-        0, B * B * B, fold, jnp.zeros((Z, Y, X), jnp.float32)
-    )
+    # Data-derived zero init: a constant init is "unvarying" under
+    # shard_map's manual-axis typing and breaks the loop carry when
+    # this runs per-shard (parallel/bm4d_sharded.py).
+    accum = jax.lax.fori_loop(0, B * B * B, fold, noisy * 0.0)
     # Weight fold: every row contributes its scalar weight to all B³
     # voxels it covers — a box sum of the full-padded weight field.
     weight = _strided_box_sum(
