@@ -295,17 +295,21 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
 
 def bm4d_batch(vols, sigma, block=4, group=16, step=3, search=9,
                two_stage=True, matcher="auto"):
-    """Denoise a batch of equal-shape volumes in one XLA program.
+    """Denoise a batch of equal-shape volumes.
 
-    ``lax.map`` over :func:`bm4d` — one dispatch per batch with
-    single-patch peak memory (a vmap would multiply the block-row
-    buffers by the batch size and exceed HBM).
+    A host loop of asynchronously queued per-volume dispatches (the
+    stack at the end synchronizes once) with single-patch peak memory.
+    One *fused* ``lax.map`` program measured ~7× slower than the
+    standalone per-volume programs at 64³ — the fusion re-rolls the
+    matching pipeline and re-litigates the scatter layout (see
+    bm4d_stage) — while a dispatch chain costs only queue latency.
     """
     fn = functools.partial(
         bm4d, block=block, group=group, step=step, search=search,
         two_stage=two_stage, matcher=matcher,
     )
-    return jax.lax.map(lambda v: fn(v, sigma), jnp.asarray(vols))
+    vols = jnp.asarray(vols)
+    return jnp.stack([fn(vols[i], sigma) for i in range(vols.shape[0])])
 
 
 def bm4d(vol, sigma, block=4, group=16, step=3, search=9, two_stage=True,
