@@ -238,6 +238,24 @@ def main():
     except Exception:  # noqa: BLE001 — secondary metric only
         pass
 
+    # Secondary: classical BM4D throughput (teacher generation /
+    # unsupervised-eval GT path; Pallas matcher on TPU). Best-effort.
+    bm4d_voxsec = None
+    try:
+        from exaspim_tpu.ops.bm4d import bm4d as _bm4d
+
+        bvol = jnp.asarray(
+            np.random.default_rng(1)
+            .normal(400.0, 24.0, (128, 128, 128))
+            .astype(np.float32)
+        )
+        np.asarray(_bm4d(bvol, 24.0)[:1, :1, :4])  # compile + run
+        t0 = time.perf_counter()
+        np.asarray(_bm4d(bvol, 24.0)[:1, :1, :4])
+        bm4d_voxsec = 128 ** 3 / (time.perf_counter() - t0)
+    except Exception:  # noqa: BLE001 — secondary metric only
+        pass
+
     baseline = _baseline()
     print(json.dumps({
         "metric": "bm4dnet_tiled_inference_256c_uint16",
@@ -265,6 +283,9 @@ def main():
         "quality_ok": quality_ok,
         "train_voxels_per_sec": (
             round(train_voxsec, 1) if train_voxsec else None
+        ),
+        "bm4d_voxels_per_sec": (
+            round(bm4d_voxsec, 1) if bm4d_voxsec else None
         ),
         "n_devices": len(jax.devices()),
     }))
