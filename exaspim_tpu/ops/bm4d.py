@@ -36,6 +36,10 @@ import numpy as np
 
 __all__ = ["bm4d", "bm4d_stage"]
 
+# Scatter-operand cap: see the aggregation comment in bm4d_stage.
+# Module-level so tests can force multi-chunk paths on small volumes.
+_SCATTER_CHUNK_BYTES = 400e6
+
 
 def _dct_matrix(n):
     """Orthonormal DCT-II matrix (n, n)."""
@@ -242,19 +246,31 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
     rows_shape = (Z - B + 1, Y - B + 1, X - B + 1)
     rz, ry, rx = rows_shape
     nrow = B * B * B
-    chunk_bytes = 400e6
-    nchunks = max(1, int(np.ceil(rz * ry * rx * nrow * 4 / chunk_bytes)))
+    nchunks = max(
+        1,
+        int(np.ceil(rz * ry * rx * nrow * 4 / _SCATTER_CHUNK_BYTES)),
+    )
     zchunk = int(np.ceil(rz / nchunks))
+    gyx = len(ys) * len(xs)
     parts = []
     for ci in range(nchunks):
         z0 = ci * zchunk
         zc = min(zchunk, rz - z0)
-        in_chunk = (sz >= z0) & (sz < z0 + zc)
-        zi = jnp.where(in_chunk, sz - z0, zc)  # zc is OOB → dropped
+        if zc <= 0:  # rounding can over-provision trailing chunks
+            break
+        # References are z-major, and a reference's members land within
+        # ``half`` planes of it, so each chunk's contributing updates
+        # are a contiguous static ref-row slice — no need to stream all
+        # R·K updates through every chunk's scatter.
+        g0 = max(0, (z0 - half) // step)
+        g1 = min(len(zs), (z0 + zc + half) // step + 1)
+        rs = slice(g0 * gyx, g1 * gyx)
+        in_chunk = (sz[rs] >= z0) & (sz[rs] < z0 + zc)
+        zi = jnp.where(in_chunk, sz[rs] - z0, zc)  # zc is OOB → dropped
         acc_c = jnp.zeros((zc, ry, rx, nrow), jnp.float32)
         parts.append(
-            acc_c.at[zi, sy, sx].add(
-                filt_rows, mode="drop", unique_indices=False
+            acc_c.at[zi, sy[rs], sx[rs]].add(
+                filt_rows[rs], mode="drop", unique_indices=False
             )
         )
     acc_rows = (

@@ -76,3 +76,22 @@ def test_output_shape_and_dtype(phantom):
     assert den.dtype == np.float32
     with pytest.raises(ValueError):
         bm4d(np.zeros((4, 4)), 1.0)
+
+
+def test_chunked_scatter_matches_single_chunk(phantom):
+    """The z-chunked aggregation scatter (with its sliced ref ranges)
+    must be exactly equivalent to one whole-volume scatter."""
+    import importlib
+
+    bm = importlib.import_module("exaspim_tpu.ops.bm4d")
+    _, noisy = phantom
+    one = np.asarray(bm4d_stage(noisy, noisy, 30.0, mode="hard"))
+    orig = bm._SCATTER_CHUNK_BYTES
+    try:
+        bm._SCATTER_CHUNK_BYTES = 1e5  # force many small chunks
+        bm.bm4d_stage.clear_cache()
+        many = np.asarray(bm4d_stage(noisy, noisy, 30.0, mode="hard"))
+    finally:
+        bm._SCATTER_CHUNK_BYTES = orig
+        bm.bm4d_stage.clear_cache()
+    np.testing.assert_allclose(many, one, rtol=1e-6, atol=1e-4)
