@@ -308,51 +308,84 @@ def _build_panel_chunk(h2, w2, cin_splits, chunk, xrefs, acc):
 
 
 def _fwd_kernel(h2, w2, cin_splits, zb, *refs):
-    *xrefs, wp, out, acc = refs
-    m = h2 * w2
+    """Slab-major forward: each input slab's im2col panel is built ONCE
+    and contracted against the three z-tap weight sections, accumulating
+    into the (up to three) output slices it influences — vs the naive
+    output-major order that rebuilds shared slab panels per output slice
+    (zb·3 builds per step instead of zb+2). Panel builds are the kernel's
+    VMEM-copy bound; the dot FLOPs are identical.
+    """
+    *xrefs, wp, out, racc, acc = refs
     n_seg = len(cin_splits)
     nch = _n_chunks(cin_splits)
+    nch3 = nch // 3
+    k3 = _k_dim(cin_splits) // 3
     kc = _k_dim(cin_splits) // nch
-    for zoff in range(zb):
-        # z-tap tz of output slice zoff reads view (zoff + tz); views
-        # are laid out [v0_seg0, v0_seg1, …, v1_seg0, …].
-        views = xrefs[zoff * n_seg:(zoff + 3) * n_seg]
-        res = jnp.zeros((m, out.shape[-1]), jnp.float32)
-        for chunk in range(nch):
-            _build_panel_chunk(h2, w2, cin_splits, chunk, views, acc)
-            res = res + jnp.dot(
-                acc[...], wp[chunk * kc:(chunk + 1) * kc, :],
-                preferred_element_type=jnp.float32,
-            )
-        out[0, zoff] = res.astype(out.dtype)
+    for v in range(zb + 2):
+        # Views are laid out [v0_seg0, v0_seg1, …, v1_seg0, …]; output
+        # slice zoff reads views zoff..zoff+2 (z-tap tz = v − zoff).
+        views = xrefs[v * n_seg:(v + 1) * n_seg]
+        for cls in range(nch3):
+            _build_panel_chunk(h2, w2, cin_splits, cls, views, acc)
+            for tz in range(3):
+                zoff = v - tz
+                if not 0 <= zoff < zb:
+                    continue
+                r0 = tz * k3 + cls * kc
+                part = jnp.dot(
+                    acc[...], wp[r0:r0 + kc, :],
+                    preferred_element_type=jnp.float32,
+                )
+                if tz == 0 and cls == 0:  # first contribution to zoff
+                    racc[zoff] = part
+                else:
+                    racc[zoff] = racc[zoff] + part
+                if tz == 2 and cls == nch3 - 1:  # last contribution
+                    out[0, zoff] = racc[zoff].astype(out.dtype)
 
 
 def _dw_kernel(h2, w2, cin_splits, zb, *refs):
-    *xrefs, g, dwp, acc = refs
+    """Rolling-z dL/dW: each grid step owns ``zb`` INPUT slabs; a slab's
+    im2col panel is built ONCE and contracted against the three output-z
+    gradient slabs it influences (``dwp[tz] = Σ_s panel(x[s])ᵀ g[s+1−tz]``,
+    the z-transpose of the forward). The naive per-output-z layout
+    rebuilds every panel three times — panel builds are the VMEM-copy
+    bound of this kernel, so sharing them is the whole win; the dot FLOPs
+    are identical (each tz section only contracts its own slab rows).
+
+    ``g`` arrives z-padded by one zero slab each side, so boundary taps
+    contribute zero without masking.
+    """
+    *refs_in, dwp, acc = refs
     n_seg = len(cin_splits)
-    nch = _n_chunks(cin_splits)
-    kc = _k_dim(cin_splits) // nch
+    xrefs = refs_in[:zb * n_seg]
+    grefs = refs_in[zb * n_seg:]
+    k3 = _k_dim(cin_splits) // 3
+    nch = _n_chunks(cin_splits) // 3
+    kc = k3 // nch
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
     for zoff in range(zb):
-        views = xrefs[zoff * n_seg:(zoff + 3) * n_seg]
+        views = xrefs[zoff * n_seg:(zoff + 1) * n_seg]
         for chunk in range(nch):
+            # tz=0 chunks address exactly rows [chunk·kc, (chunk+1)·kc)
+            # built from views[seg] — the per-slab panel section.
             _build_panel_chunk(h2, w2, cin_splits, chunk, views, acc)
-            part = jax.lax.dot_general(
-                acc[...], g[0, zoff],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            init = first & (zoff == 0)
-
-            @pl.when(init)
-            def _(chunk=chunk, part=part):
-                dwp[chunk * kc:(chunk + 1) * kc, :] = part
-
-            @pl.when(jnp.logical_not(init))
-            def _(chunk=chunk, part=part):
-                dwp[chunk * kc:(chunk + 1) * kc, :] = (
-                    dwp[chunk * kc:(chunk + 1) * kc, :] + part
+            for tz in range(3):
+                part = jax.lax.dot_general(
+                    acc[...], grefs[zoff + 2 - tz][0, 0],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
+                r0 = tz * k3 + chunk * kc
+                init = first & (zoff == 0)
+
+                @pl.when(init)
+                def _(r0=r0, part=part):
+                    dwp[r0:r0 + kc, :] = part
+
+                @pl.when(jnp.logical_not(init))
+                def _(r0=r0, part=part):
+                    dwp[r0:r0 + kc, :] = dwp[r0:r0 + kc, :] + part
 
 
 def _pad_blocked(xb, w2):
@@ -369,7 +402,9 @@ def _z_block(d, cin_splits, for_dw=False):
     panel chunk and double-buffered output (the dw kernel additionally
     holds the f32 packed-gradient accumulator, so it caps lower)."""
     if for_dw:
-        cap = 1 if len(cin_splits) > 1 else 2
+        # Rolling dw holds zb·n_seg x views + (zb+2) g views + the f32
+        # packed-gradient block; two-segment convs cap lower.
+        cap = 2 if len(cin_splits) > 1 else 4
     else:
         cap = 4
     for zb in (cap, 2, 1):
@@ -412,7 +447,8 @@ def _grid_call(kernel, h2, w2, cin_splits, xbs, tail_in, out_shape,
         in_specs=_x_specs(m, w2, lanes, n_seg, zb) + [tail_in[0]],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((m, k // _n_chunks(cin_splits)), acc_dtype)
+            pltpu.VMEM((zb, m, out_shape.shape[-1]), jnp.float32),
+            pltpu.VMEM((m, k // _n_chunks(cin_splits)), acc_dtype),
         ],
         interpret=interpret,
     )(*ins, tail_in[1])
@@ -449,21 +485,49 @@ def _nb_conv_fwd(xs, k3, h, w, cin_splits, interpret=False):
 def _nb_conv_dw(xs, g, h, w, cin_splits, interpret=False):
     h2, w2 = h // 2, w // 2
     m = h2 * w2
+    rp = m + 2 * _row_pad(w2)
     cout = g.shape[-1] // 4
     lo = 4 * cout
     k = _k_dim(cin_splits)
     dt = xs[0].dtype
-    zb = _z_block(xs[0].shape[1], cin_splits, for_dw=True)
-    xps = tuple(_pad_blocked(xb, w2) for xb in xs)
-    gspec = pl.BlockSpec((1, zb, m, lo), lambda bi, zi: (bi, zi, 0, 0),
-                         memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((k, lo), lambda bi, zi: (0, 0),
-                            memory_space=pltpu.VMEM)
-    dwp = _grid_call(
-        _dw_kernel, h2, w2, cin_splits, xps, (gspec, g.astype(dt)),
-        jax.ShapeDtypeStruct((k, lo), jnp.float32), out_spec, dt, interpret,
-        zb,
+    b, d = xs[0].shape[0], xs[0].shape[1]
+    zb = _z_block(d, cin_splits, for_dw=True)
+    n_seg = len(cin_splits)
+    # Row-pad only (panels never cross z in the rolling layout); g gets
+    # one zero z-slab each side so boundary taps vanish without masks.
+    xps = tuple(
+        jnp.pad(xb, ((0, 0), (0, 0), (_row_pad(w2),) * 2, (0, 0)))
+        for xb in xs
     )
+    gp = jnp.pad(g, ((0, 0), (1, 1), (0, 0), (0, 0))).astype(dt)
+    in_specs, ins = [], []
+    for v in range(zb):
+        for s in range(n_seg):
+            in_specs.append(pl.BlockSpec(
+                (1, 1, rp, 4 * cin_splits[s]),
+                (lambda bi, zi, _v=v, _zb=zb: (bi, zi * _zb + _v, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ))
+            ins.append(xps[s])
+    for v in range(zb + 2):
+        in_specs.append(pl.BlockSpec(
+            (1, 1, m, lo),
+            (lambda bi, zi, _v=v, _zb=zb: (bi, zi * _zb + _v, 0, 0)),
+            memory_space=pltpu.VMEM,
+        ))
+        ins.append(gp)
+    dwp = pl.pallas_call(
+        functools.partial(_dw_kernel, h2, w2, cin_splits, zb),
+        out_shape=jax.ShapeDtypeStruct((k, lo), jnp.float32),
+        grid=(b, d // zb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((k, lo), lambda bi, zi: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((m, k // _n_chunks(cin_splits)), dt)
+        ],
+        interpret=interpret,
+    )(*ins)
     return _unpack_wgrad_fn(cin_splits, cout)(dwp)
 
 
