@@ -106,6 +106,14 @@ def main():
             {"kind": "asinh", "params": {"offset": 100.0, "scale": 60.0}}
         )
 
+    # Commit params to the device ONCE — numpy checkpoint leaves fed to
+    # a jitted program re-upload per call (~100 small transfers × the
+    # tunnel's per-transfer latency ≈ 1.2 s/call; measured
+    # scripts/tiled_profile.py: 1.65 s wall vs 0.49 s device compute).
+    from exaspim_tpu.inference import commit_params
+
+    params = commit_params(params)
+
     kwargs = dict(
         patch_size=PATCH, overlap=OVERLAP, trim=TRIM, batch_size=BATCH
     )
@@ -197,7 +205,8 @@ def main():
     ) if trained else False
 
     # --- Secondary: training throughput (voxels/sec through one jitted
-    # train step, batch 32 × 64³, XLA conv path — the training default).
+    # train step, batch 32 × 64³, blocked Pallas conv path — the
+    # training default since the rolling-z dL/dW kernel landed).
     # Best-effort: skipped rather than failing the bench.
     train_voxsec = None
     try:
@@ -206,7 +215,7 @@ def main():
         from exaspim_tpu.train.state import make_train_step
 
         tmodel = _UNet(width_multiplier=1.0, dtype=jnp.bfloat16,
-                       blocked="never")
+                       blocked="auto")
         tstate = create_train_state(
             tmodel, patch_shape=(PATCH,) * 3, lr=1e-4, total_steps=100,
             seed=0,

@@ -253,6 +253,23 @@ def _tiled_program(apply_fn, transform, vol_shape, orig_shape, patch,
     return jax.jit(run)
 
 
+def commit_params(params):
+    """Move checkpoint params (host numpy leaves) onto the device once.
+
+    msgpack checkpoints load as numpy; feeding those to a jitted program
+    re-uploads every leaf on EVERY call — ~100 small transfers times the
+    host link's per-transfer latency dominated the tiled program's wall
+    time (measured on the tunnel: 1.65 s wall vs 0.45 s device compute
+    per 256³ block, scripts/tiled_profile.py). Already-committed
+    ``jax.Array`` leaves (including mesh-sharded params) pass through
+    untouched, so calling this repeatedly is free.
+    """
+    return jax.tree_util.tree_map(
+        lambda a: a if isinstance(a, jax.Array) else jax.device_put(a),
+        params,
+    )
+
+
 @functools.cache
 def _model_apply(model):
     """One stable apply closure per model instance (keeps jit caches warm)."""
@@ -316,6 +333,7 @@ def predict(img, model, params, transform, patch_size=64, overlap=12,
             starts[-1:], n_pad, axis=0
         )])
 
+    params = commit_params(params)
     apply_fn = _model_apply(model)
     program = _tiled_program(
         apply_fn, transform, padded_shape, img.shape, patch_size,
@@ -365,7 +383,7 @@ def predict_patch(patch, model, params, transform):
     patch = np.asarray(patch)
     x = transform.forward(patch.astype(np.float32))
     x = jnp.asarray(x)[None, ..., None]
-    pred = _model_apply(model)(params, x)[0, ..., 0]
+    pred = _model_apply(model)(commit_params(params), x)[0, ..., 0]
     return transform.inverse(np.asarray(pred, dtype=np.float32))
 
 

@@ -555,10 +555,12 @@ def _vjp_fwd(xs, k3, h, w, cin_splits, interpret):
 def _dw_xla(xs, g, k3, h, w, cin_splits):
     """dL/dW via XLA's conv-gradient contraction on unblocked tensors.
 
-    The giant-K dw contraction (K = B·D·H·W) runs at full MXU width in
-    XLA; rebuilding im2col panels in a Pallas kernel for it re-reads
-    every slab three times and loses (measured ~-55 ms/train step on
-    the flagship model vs this path).
+    Fallback path (``EXASPIM_NB_DW=xla``). Historically this won while
+    the Pallas dw kernel rebuilt each slab's panel three times; the
+    rolling-z dw kernel builds each panel once and now wins by ~100 ms
+    per batch-32 64³ train step (the XLA path additionally pays
+    ``from_blocked`` relayouts on every activation; measured
+    scripts/step_bench.py: 326 ms pallas-dw vs 433 ms xla-dw).
     """
     xu = jnp.concatenate(
         [from_blocked(xb, h, w) for xb in xs], axis=-1

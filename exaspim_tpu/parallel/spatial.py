@@ -106,6 +106,15 @@ def predict_sharded(img, model, params, transform, mesh, patch_size=64,
     apply_fn = _model_apply(model)
     vol_sh = NamedSharding(mesh, P(axis_name, None, None))
     st_sh = NamedSharding(mesh, P(axis_name, None, None))
+    # Commit host (numpy) checkpoint leaves replicated over the mesh
+    # once — otherwise every program call re-uploads ~100 small leaves
+    # (see inference.commit_params).
+    rep_sh = NamedSharding(mesh, P())
+    params = jax.tree_util.tree_map(
+        lambda a: a if isinstance(a, jax.Array)
+        else jax.device_put(a, rep_sh),
+        params,
+    )
 
     if patch_size <= 2 * stride:
         # Dense parity-canvas stitch (no scatter in the HLO) — the same

@@ -83,12 +83,17 @@ def restore_pipeline(path, dtype=None):
     from exaspim_tpu.models import build_model
     from exaspim_tpu.transforms import build_transform
 
+    from exaspim_tpu.inference import commit_params
+
     ckpt = load_checkpoint(path)
     model = build_model(
         ckpt["model_config"], dtype=dtype or jnp.bfloat16
     )
     transform = build_transform(ckpt["transform"])
-    return model, ckpt["params"], transform
+    # Commit the numpy leaves to the device here, once — per-call
+    # re-uploads of ~100 small leaves dominate wall time on hosts with
+    # a slow device link (see inference.commit_params).
+    return model, commit_params(ckpt["params"]), transform
 
 
 def find_best_checkpoint(directory):

@@ -85,6 +85,9 @@ def main():
         _model_apply(model), transform, padded, img.shape, patch,
         stride, batch, trim, grid_dims, False,
     )
+    from exaspim_tpu.inference import commit_params
+
+    params = commit_params(params)
     dstarts = jnp.asarray(starts)
     dimg = jax.device_put(jnp.asarray(img))
     checksum = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))

@@ -54,13 +54,14 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
     val_ds = CachedValidateDataset(val_cache)
 
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    # blocked="never": training steps are faster on XLA's fused conv
-    # gradients; the blocked Pallas conv path wins for inference only
-    # (models/unet3d.py Conv notes).
+    # blocked="auto": the rolling-z Pallas kernels (ops/nb_conv.py) win
+    # for BOTH forward and training on TPU — measured 326 vs 347 ms per
+    # batch-32 64^3 train step against XLA's fused conv gradients
+    # (scripts/step_bench.py).
     model = build_model(
-        model_cfg, dtype=dtype, blocked="never"
+        model_cfg, dtype=dtype
     ) if model_cfg else UNet(
-        width_multiplier=width_multiplier, dtype=dtype, blocked="never"
+        width_multiplier=width_multiplier, dtype=dtype
     )
     mesh = None
     if data_parallel:

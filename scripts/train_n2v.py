@@ -75,7 +75,8 @@ def main(argv=None):
     model = MODEL_REGISTRY[args.model](
         width_multiplier=args.width, dtype=jnp.bfloat16,
         head_init="normal", residual=False,
-        blocked="never",  # fastest for training
+        blocked="auto",  # rolling-z Pallas convs win fwd AND train
+
     )
     state = create_train_state(
         model, patch_shape=(P, P, P), lr=args.lr,
