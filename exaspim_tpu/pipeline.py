@@ -64,6 +64,13 @@ def denoise_volume(img, model, params, transform, output_path=None,
     halo = patch_size
     slab_z = max(int(slab_z), patch_size)
     plan = _slab_plan(Z, slab_z, halo, patch_size - overlap)
+    if mesh is None:
+        # One device commit for the whole run instead of per slab
+        # (see inference.commit_params); the sharded engine does its
+        # own mesh-replicated placement.
+        from exaspim_tpu.inference import commit_params
+
+        params = commit_params(params)
 
     out_arr = None
     out_store = None
