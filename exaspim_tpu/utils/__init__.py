@@ -6,6 +6,7 @@ from exaspim_tpu.utils.img_io import (
     downsample_windowed_mean,
     get_ome_zarr_level_transform,
     get_patch,
+    get_slices,
     get_start_end,
     ome_zarr_coordinate_to_voxel,
     read,
@@ -36,6 +37,7 @@ __all__ = [
     "downsample_windowed_mean",
     "get_ome_zarr_level_transform",
     "get_patch",
+    "get_slices",
     "get_start_end",
     "is_cloud_path",
     "list_cloud_paths",

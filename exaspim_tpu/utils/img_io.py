@@ -138,6 +138,13 @@ def get_start_end(voxel, shape, from_center=True):
     return start, end
 
 
+def get_slices(voxel, shape, from_center=True):
+    """Slice tuple for the patch around/from ``voxel`` (reference
+    img_util.py:703)."""
+    start, end = get_start_end(voxel, shape, from_center=from_center)
+    return tuple(slice(s, e) for s, e in zip(start, end))
+
+
 def get_patch(img, voxel, shape, from_center=True):
     """Read a 3D patch from a (lazy) 5D or 3D volume.
 
@@ -153,7 +160,7 @@ def get_patch(img, voxel, shape, from_center=True):
         raise ValueError(
             f"patch [{start}, {end}) out of bounds for volume {dims}"
         )
-    sl = tuple(slice(s, e) for s, e in zip(start, end))
+    sl = get_slices(voxel, shape, from_center=from_center)
     if len(img.shape) == 5:
         out = img[(0, 0) + sl]
     else:

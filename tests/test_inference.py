@@ -149,3 +149,42 @@ def test_predict_output_clip_input_range():
                   trim=2, batch_size=4, output_clip="input")
     assert out.max() <= vol.max() + 1
     assert out.min() >= max(int(vol.min()) - 1, 0)
+
+
+def test_commit_params_places_leaves_once():
+    """commit_params moves numpy checkpoint leaves onto a device and
+    passes already-committed (or sharded) jax.Array leaves through
+    unchanged — per-call host re-uploads dominated wall time on slow
+    host links (see inference.commit_params docs)."""
+    from exaspim_tpu.inference import commit_params
+
+    tree = {
+        "conv": {"kernel": np.ones((3, 3, 3, 1, 4), np.float32)},
+        "gn": {"scale": np.ones((4,), np.float32)},
+    }
+    committed = commit_params(tree)
+    leaves = jax.tree_util.tree_leaves(committed)
+    assert all(isinstance(leaf, jax.Array) for leaf in leaves)
+    np.testing.assert_array_equal(
+        np.asarray(committed["conv"]["kernel"]), tree["conv"]["kernel"]
+    )
+    # A second pass returns the identical leaves (no copies).
+    again = commit_params(committed)
+    assert again["conv"]["kernel"] is committed["conv"]["kernel"]
+
+
+def test_predict_accepts_numpy_params(small_unet):
+    """predict works when params arrive as host numpy leaves (the
+    msgpack checkpoint case) and matches device-committed params."""
+    from exaspim_tpu.inference import commit_params
+
+    model, params = small_unet
+    transform = build_transform(TCFG)
+    np_params = jax.tree_util.tree_map(np.asarray, params)
+    rng = np.random.default_rng(1)
+    vol = (rng.poisson(60, (20, 20, 20)) + 90).astype(np.uint16)
+    kw = dict(patch_size=16, overlap=8, trim=2, batch_size=4)
+    out_np = predict(vol, model, np_params, transform, **kw)
+    out_dev = predict(vol, model, commit_params(np_params), transform,
+                      **kw)
+    np.testing.assert_array_equal(out_np, out_dev)
