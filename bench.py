@@ -40,6 +40,11 @@ import numpy as np
 DEFAULT_BASELINE_VOXSEC = 1.3e6
 
 BLOCK = 256
+# PATCH/BATCH are the reference operating point, used for the training
+# step (its batch-32×64³ configuration) and as the fallback; the
+# inference headline lets ``plan_tiling`` pick the (patch, batch) that
+# minimizes overlap redundancy for the block (96³×9 on 256³ — measured
+# 42.4 vs 34.5 Mvox/s device-resident, scripts/patch_ab_dev.py).
 PATCH, OVERLAP, TRIM, BATCH = 64, 12, 5, 32
 CKPT = os.path.join(os.path.dirname(__file__), "checkpoints",
                     "bm4dnet.msgpack")
@@ -114,8 +119,12 @@ def main():
 
     params = commit_params(params)
 
+    from exaspim_tpu.inference import plan_tiling
+
+    inf_patch, inf_batch = plan_tiling(img.shape, OVERLAP)
     kwargs = dict(
-        patch_size=PATCH, overlap=OVERLAP, trim=TRIM, batch_size=BATCH
+        patch_size=inf_patch, overlap=OVERLAP, trim=TRIM,
+        batch_size=inf_batch,
     )
     # Warm-up: compile.
     out = predict(img, model, params, transform, **kwargs)
@@ -138,24 +147,24 @@ def main():
     )
 
     blocks = [img, noisy_observation(clean, seed=7)]
-    starts = generate_patch_starts(img.shape, PATCH, OVERLAP)
-    stride = PATCH - OVERLAP
+    starts = generate_patch_starts(img.shape, inf_patch, OVERLAP)
+    stride = inf_patch - OVERLAP
     grid_dims = tuple(
-        len(range(0, max(d - PATCH + stride, 1), stride))
+        len(range(0, max(d - inf_patch + stride, 1), stride))
         for d in img.shape
     )
     padded = tuple(
-        max(int(starts[:, d].max()) + PATCH, img.shape[d])
+        max(int(starts[:, d].max()) + inf_patch, img.shape[d])
         for d in range(3)
     )
-    n_pad = (-len(starts)) % BATCH
+    n_pad = (-len(starts)) % inf_batch
     if n_pad:
         starts = np.concatenate(
             [starts, np.repeat(starts[-1:], n_pad, axis=0)]
         )
     program = _tiled_program(
-        _model_apply(model), transform, padded, img.shape, PATCH,
-        stride, BATCH, TRIM, grid_dims, False,
+        _model_apply(model), transform, padded, img.shape, inf_patch,
+        stride, inf_batch, TRIM, grid_dims, False,
     )
     dstarts = jnp.asarray(starts)
     n_runs = 6
@@ -272,10 +281,10 @@ def main():
         "unit": "voxels/sec/chip",
         "vs_baseline": round(voxsec / baseline, 2),
         "block": [BLOCK] * 3,
-        "patch": PATCH,
+        "patch": inf_patch,
         "overlap": OVERLAP,
         "trim": TRIM,
-        "batch": BATCH,
+        "batch": inf_batch,
         "seconds_per_block": round(dt, 4),
         "latency_s": round(latency, 4),
         "pipelined_s": round(pipelined, 4),

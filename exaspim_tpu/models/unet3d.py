@@ -64,7 +64,7 @@ def _ensure_array(x):
     return x
 
 
-def _nb_ok(h, w, cin_splits, cout, mode):
+def _nb_ok(h, w, cin_splits, cout, mode, isz=2):
     """Trace-time gate: use the MXU-blocked Pallas conv here?
 
     Measured on the real chip (scripts/nb_bench.py): the nb kernel wins
@@ -73,7 +73,7 @@ def _nb_ok(h, w, cin_splits, cout, mode):
     the ≥ 64×64 spatial gate. Off-TPU the XLA conv is always used
     (mode "force" runs the kernel interpreted, for equivalence tests).
     """
-    from exaspim_tpu.ops.nb_conv import supports_nb_conv
+    from exaspim_tpu.ops.nb_conv import nb_conv_vmem_ok, supports_nb_conv
 
     if mode == "never":
         return False
@@ -83,6 +83,9 @@ def _nb_ok(h, w, cin_splits, cout, mode):
         cout % 32 == 0
         and supports_nb_conv(h, w, cin_splits)
         and (h // 2) * (w // 2) >= 1024
+        # Large planes (patch ≥ 96 inference) must leave a z-block that
+        # fits VMEM or the kernel cannot compile at all.
+        and nb_conv_vmem_ok(h, w, cin_splits, cout, isz)
     )
 
 
@@ -272,7 +275,8 @@ class DoubleConv(nn.Module):
         mid = self.mid_channels or self.out_channels
         for channels in (mid, self.out_channels):
             is_b, splits, (h, w) = _seg_info(x)
-            ok = _nb_ok(h, w, splits, channels, self.blocked)
+            ok = _nb_ok(h, w, splits, channels, self.blocked,
+                        jnp.dtype(self.dtype).itemsize)
             if ok and not is_b:
                 x = Blocked.block(x.astype(self.dtype))
             elif not ok and is_b:
@@ -457,7 +461,7 @@ class Up(nn.Module):
                 blocked_resize = shapes_match and _nb_ok(
                     skip_x.h, skip_x.w,
                     (skip_x.channels, int(x.shape[-1])), cat // 2,
-                    self.blocked,
+                    self.blocked, jnp.dtype(self.dtype).itemsize,
                 )
             if blocked_resize:
                 x = (

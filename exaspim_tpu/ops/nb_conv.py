@@ -65,6 +65,7 @@ __all__ = [
     "from_blocked",
     "nb_conv3d",
     "supports_nb_conv",
+    "nb_conv_vmem_ok",
 ]
 
 # Tap groups per z-slab: (Δq_y, Δq_x, p_y half copied).
@@ -394,23 +395,110 @@ def _pad_blocked(xb, w2):
     return jnp.pad(xb, ((0, 0), (1, 1), (p, p), (0, 0)))
 
 
-def _z_block(d, cin_splits, for_dw=False):
+def _vmem_bytes(zb, m, w2, cin_splits, cout, isz, for_dw):
+    """Estimated VMEM footprint of one grid step.
+
+    Streamed input/output blocks are counted twice (Mosaic
+    double-buffers them across grid steps); constant-index blocks (the
+    packed weights / packed-gradient accumulator) and scratch once.
+    The estimate undercounts Mosaic's true scoped allocation (the
+    compiler reported 17.56 MiB for a config this formula puts at
+    11.47 MiB — extra stack copies the formula cannot see), so callers
+    apply ``_EST_CALIB`` before comparing against ``_VMEM_LIMIT``."""
+    def lanes(n):
+        # VMEM blocks tile the minor dim to 128 lanes — a 4-lane view
+        # (1-channel entry conv) still occupies 128 lanes per row.
+        return -(-n // 128) * 128
+
+    rp = m + 2 * _row_pad(w2)
+    k = _k_dim(cin_splits)
+    lo = lanes(4 * cout)
+    views_per = sum(rp * lanes(4 * c) * isz for c in cin_splits)
+    panel = m * lanes(k // _n_chunks(cin_splits)) * isz
+    if for_dw:
+        return (
+            2 * zb * views_per          # x slab views
+            + 2 * (zb + 2) * m * lo * isz  # gradient slab views
+            + 2 * k * lo * 4            # f32 packed-gradient output
+            + panel
+        )
+    return (
+        2 * (zb + 2) * views_per        # input z views
+        + k * lo * isz                  # packed weights (constant map)
+        + 2 * zb * m * lo * isz         # output block
+        + zb * m * lo * 4               # f32 row accumulator scratch
+        + panel
+    )
+
+
+# Mosaic's default scoped-VMEM limit is 16 MiB; v5e has 128 MiB of
+# physical VMEM, so the kernels request a 100 MiB budget via
+# ``CompilerParams(vmem_limit_bytes=...)`` and large-plane configs pick
+# their z-block against a 40 MiB *estimated* budget. The estimate
+# undercounts the compiler's true scoped allocation by a config-
+# dependent 1.5–2.1× (two compiler reports: 17.56 MiB actual vs
+# 11.47 MiB estimated at zb=2, 16.18 vs 8.04 at zb=1 on 96² planes), so
+# 40 MiB estimated stays safely under the 100 MiB request. 64² planes
+# with ≤32 channels skip the estimate entirely: their z-blocks were
+# hand-tuned on the real chip (round 2b/2d).
+_VMEM_REQUEST = 100 * 2**20
+_EST_BUDGET = 40 * 2**20
+
+
+def _compiler_params(interpret):
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_REQUEST)
+
+
+def _fits(zb, m, w2, cin_splits, cout, isz, for_dw):
+    est = _vmem_bytes(zb, m, w2, cin_splits, cout, isz, for_dw)
+    return est <= _EST_BUDGET
+
+
+def nb_conv_vmem_ok(h, w, cin_splits, cout, isz=2):
+    """True when some z-block fits the forward kernel in VMEM — the
+    trace-time gate large-plane callers (patch ≥ 96) must pass before
+    dispatching to the blocked path."""
+    m = (h // 2) * (w // 2)
+    cin_splits = tuple(cin_splits)
+    if (m <= 1024 and isz <= 2 and cout <= 32
+            and max(cin_splits) <= 32):  # validated on the real chip
+        return True
+    return _fits(1, m, w // 2, cin_splits, cout, isz, for_dw=False)
+
+
+def _z_block(d, cin_splits, cout, m, w2, isz, for_dw=False,
+             interpret=False):
     """Output z-slices per grid step. Amortizes the ~6 µs fixed cost of
     a Pallas grid step (measured: a 2048-step conv pays ~12 ms of pure
     step overhead) and cuts the z-halo re-reads from 3× to (zb+2)/zb.
-    Capped by VMEM: (zb+2)·n_seg input views must fit alongside the
-    panel chunk and double-buffered output (the dw kernel additionally
-    holds the f32 packed-gradient accumulator, so it caps lower)."""
-    if for_dw:
-        # Rolling dw holds zb·n_seg x views + (zb+2) g views + the f32
-        # packed-gradient block; two-segment convs cap lower.
-        cap = 2 if len(cin_splits) > 1 else 4
-    else:
-        cap = 4
-    for zb in (cap, 2, 1):
-        if d % zb == 0:
+
+    The configs validated on the real chip — 64² planes, ≤32 channels,
+    bf16 (round 2b/2d) — keep their hand-tuned z-blocks (fwd 4; dw 4,
+    or 2 for two-segment convs); interpret mode (tests, no VMEM limit)
+    uses the same caps. Anything else (patch ≥ 96 inference, wider
+    channels) backs off via the calibrated VMEM estimate so the kernel
+    fits Mosaic's 16 MiB scoped limit."""
+    validated = (
+        m <= 1024 and isz <= 2 and cout <= 32
+        and max(cin_splits) <= 32
+    )
+    if validated or interpret:
+        cap = (2 if len(cin_splits) > 1 else 4) if for_dw else 4
+        for zb in (cap, 2, 1):
+            if d % zb == 0:
+                return zb
+        return 1
+    for zb in (4, 2, 1):
+        if d % zb:
+            continue
+        if _fits(zb, m, w2, cin_splits, cout, isz, for_dw):
             return zb
-    return 1
+    raise ValueError(
+        f"no z-block fits VMEM for m={m} cin={cin_splits} cout={cout}; "
+        "gate callers with nb_conv_vmem_ok"
+    )
 
 
 def _x_specs(m, w2, lanes_per_seg, n_seg, zb):
@@ -450,6 +538,7 @@ def _grid_call(kernel, h2, w2, cin_splits, xbs, tail_in, out_shape,
             pltpu.VMEM((zb, m, out_shape.shape[-1]), jnp.float32),
             pltpu.VMEM((m, k // _n_chunks(cin_splits)), acc_dtype),
         ],
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(*ins, tail_in[1])
 
@@ -465,7 +554,8 @@ def _nb_conv_fwd(xs, k3, h, w, cin_splits, interpret=False):
     lo = 4 * cout
     k = _k_dim(cin_splits)
     dt = xs[0].dtype
-    zb = _z_block(d, cin_splits)
+    zb = _z_block(d, cin_splits, cout, m, w2, dt.itemsize,
+                  interpret=interpret)
     xps = tuple(_pad_blocked(xb, w2) for xb in xs)
     wp = _pack_weights_fn(cin_splits, cout)(k3).astype(dt)
     wspec = pl.BlockSpec((k, lo), lambda bi, zi: (0, 0),
@@ -491,7 +581,8 @@ def _nb_conv_dw(xs, g, h, w, cin_splits, interpret=False):
     k = _k_dim(cin_splits)
     dt = xs[0].dtype
     b, d = xs[0].shape[0], xs[0].shape[1]
-    zb = _z_block(d, cin_splits, for_dw=True)
+    zb = _z_block(d, cin_splits, cout, m, w2, dt.itemsize, for_dw=True,
+                  interpret=interpret)
     n_seg = len(cin_splits)
     # Row-pad only (panels never cross z in the rolling layout); g gets
     # one zero z-slab each side so boundary taps vanish without masks.
@@ -526,6 +617,7 @@ def _nb_conv_dw(xs, g, h, w, cin_splits, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((m, k // _n_chunks(cin_splits)), dt)
         ],
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(*ins)
     return _unpack_wgrad_fn(cin_splits, cout)(dwp)

@@ -61,6 +61,15 @@ def denoise_volume(img, model, params, transform, output_path=None,
     src = img_io.read(img) if isinstance(img, (str,)) else img
     shape = tuple(src.shape[-3:])
     Z, Y, X = shape
+    if patch_size == "auto":
+        # Plan on the slab geometry (z capped at the slab height); the
+        # same patch is used for every slab so the global stride grid —
+        # and therefore seam exactness — is preserved.
+        from exaspim_tpu.inference import plan_tiling
+
+        patch_size, batch_size = plan_tiling(
+            (min(Z, int(slab_z)), Y, X), overlap
+        )
     halo = patch_size
     slab_z = max(int(slab_z), patch_size)
     plan = _slab_plan(Z, slab_z, halo, patch_size - overlap)

@@ -151,6 +151,35 @@ def test_predict_output_clip_input_range():
     assert out.min() >= max(int(vol.min()) - 1, 0)
 
 
+def test_plan_tiling_minimizes_forward_voxels():
+    from exaspim_tpu.inference import plan_tiling
+
+    # 256³: 27×96³ = 23.9 M forward voxels beats 125×64³ = 32.8 M.
+    patch, batch = plan_tiling((256, 256, 256), overlap=12)
+    assert patch == 96
+    assert 27 % batch == 0  # no padded tail slots
+    # 128³ fits a single 128 patch — zero overlap redundancy.
+    assert plan_tiling((128, 128, 128), overlap=12)[0] == 128
+    # Smaller than every candidate → 16-multiple fallback.
+    patch, batch = plan_tiling((40, 40, 40), overlap=12)
+    assert patch == 32 and batch == 1
+
+
+def test_predict_auto_patch_matches_explicit():
+    """patch_size='auto' runs the planner and produces full coverage."""
+    t = build_transform(TCFG)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 900, (24, 20, 20)).astype(np.uint16)
+    out = predict(
+        img, DoublePlusOne(), {}, t, patch_size="auto", overlap=4,
+        trim=2, return_float=True,
+    )
+    expect = t.inverse_float(
+        2.0 * t.forward(img.astype(np.float32)) + 0.01
+    )
+    np.testing.assert_allclose(out, expect, atol=0.01)
+
+
 def test_commit_params_places_leaves_once():
     """commit_params moves numpy checkpoint leaves onto a device and
     passes already-committed (or sharded) jax.Array leaves through

@@ -54,6 +54,25 @@ def test_streamed_zarr_to_zarr(tmp_path):
     np.testing.assert_array_equal(back, direct)
 
 
+def test_streamed_auto_patch_matches_explicit(tmp_path):
+    """patch_size='auto' plans on the slab geometry and matches the
+    equivalent explicit-patch run exactly (same global stride grid)."""
+    t = build_transform(TCFG)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 900, (80, 40, 40)).astype(np.uint16)
+    # (48, 40, 40) slab geometry fits no 64+ candidate → planner falls
+    # back to the largest 16-multiple ≤ min(shape): patch 32, batch 1.
+    auto = denoise_volume(
+        img, DoublePlusOne(), {}, t, slab_z=48, patch_size="auto",
+        overlap=4, trim=2,
+    )
+    explicit = denoise_volume(
+        img, DoublePlusOne(), {}, t, slab_z=48, patch_size=32,
+        overlap=4, trim=2, batch_size=1,
+    )
+    np.testing.assert_array_equal(auto, explicit)
+
+
 def test_streamed_with_mesh_matches_single(tmp_path):
     from exaspim_tpu.parallel import make_mesh
 
