@@ -456,16 +456,43 @@ def _fits(zb, m, w2, cin_splits, cout, isz, for_dw):
     return est <= _EST_BUDGET
 
 
+def _validated_config(m, cin_splits, cout, isz):
+    """64² planes / ≤32 channels / ≤bf16 — measured on the real chip
+    (round 2b/2d); these skip the VMEM estimate."""
+    return (m <= 1024 and isz <= 2 and cout <= 32
+            and max(cin_splits) <= 32)
+
+
 def nb_conv_vmem_ok(h, w, cin_splits, cout, isz=2):
-    """True when some z-block fits the forward kernel in VMEM — the
+    """True when every kernel the conv may trace fits VMEM — the
     trace-time gate large-plane callers (patch ≥ 96) must pass before
-    dispatching to the blocked path."""
+    dispatching to the blocked path.
+
+    Checks the forward AND its dL/dx program (the same kernel with
+    channels transposed, ``cout → Σcin`` — a wider ``cout`` makes dx
+    the larger footprint); dL/dW is not checked here because
+    ``_vjp_bwd`` falls back to the XLA contraction on its own when the
+    dw kernel cannot fit.
+    """
     m = (h // 2) * (w // 2)
+    w2 = w // 2
     cin_splits = tuple(cin_splits)
-    if (m <= 1024 and isz <= 2 and cout <= 32
-            and max(cin_splits) <= 32):  # validated on the real chip
+    if _validated_config(m, cin_splits, cout, isz):
         return True
-    return _fits(1, m, w // 2, cin_splits, cout, isz, for_dw=False)
+    return (
+        _fits(1, m, w2, cin_splits, cout, isz, for_dw=False)
+        and _fits(1, m, w2, (cout,), sum(cin_splits), isz, for_dw=False)
+    )
+
+
+def _dw_vmem_ok(d, m, w2, cin_splits, cout, isz):
+    """True when the Pallas dL/dW kernel has a fitting z-block."""
+    if _validated_config(m, cin_splits, cout, isz):
+        return True
+    return any(
+        d % zb == 0 and _fits(zb, m, w2, cin_splits, cout, isz, True)
+        for zb in (4, 2, 1)
+    )
 
 
 def _z_block(d, cin_splits, cout, m, w2, isz, for_dw=False,
@@ -480,11 +507,7 @@ def _z_block(d, cin_splits, cout, m, w2, isz, for_dw=False,
     uses the same caps. Anything else (patch ≥ 96 inference, wider
     channels) backs off via the calibrated VMEM estimate so the kernel
     fits Mosaic's 16 MiB scoped limit."""
-    validated = (
-        m <= 1024 and isz <= 2 and cout <= 32
-        and max(cin_splits) <= 32
-    )
-    if validated or interpret:
+    if _validated_config(m, cin_splits, cout, isz) or interpret:
         cap = (2 if len(cin_splits) > 1 else 4) if for_dw else 4
         for zb in (cap, 2, 1):
             if d % zb == 0:
@@ -689,7 +712,14 @@ def _vjp_bwd(h, w, cin_splits, interpret, res, g):
     for c in cin_splits:
         dxs.append(dx5[..., o:o + c].reshape(b, d, m, 4 * c))
         o += c
-    if os.environ.get("EXASPIM_NB_DW", "pallas") == "pallas":
+    pallas_dw = (
+        os.environ.get("EXASPIM_NB_DW", "pallas") == "pallas"
+        and (interpret or _dw_vmem_ok(
+            xs[0].shape[1], (h // 2) * (w // 2), w // 2,
+            tuple(cin_splits), cout, xs[0].dtype.itemsize,
+        ))
+    )
+    if pallas_dw:
         dk3 = _nb_conv_dw(xs, g, h, w, cin_splits, interpret)
     else:
         dk3 = _dw_xla(xs, g, k3, h, w, cin_splits)

@@ -276,3 +276,23 @@ def test_supports_gate():
     assert not supports_nb_conv(32, 32, (48,))   # channels not 32-mult
     assert not supports_nb_conv(16, 16, (32,))   # M too small
     assert supports_nb_conv(64, 64, (32, 32))
+
+
+def test_vmem_gates():
+    from exaspim_tpu.ops.nb_conv import _dw_vmem_ok, nb_conv_vmem_ok
+
+    # The validated real-chip operating point (64² planes, 32 ch, bf16).
+    assert nb_conv_vmem_ok(64, 64, (32,), 32)
+    assert _dw_vmem_ok(64, 1024, 32, (32, 32), 32, 2)
+    # The patch-96/128 inference planes fit at zb=1.
+    assert nb_conv_vmem_ok(96, 96, (32,), 32)
+    assert nb_conv_vmem_ok(128, 128, (32, 32), 32)
+    # Very wide channels on large planes blow the estimated budget —
+    # the model must fall back to the XLA conv, and dL/dW to the XLA
+    # contraction, instead of failing in the Mosaic compiler.
+    assert not nb_conv_vmem_ok(256, 256, (512,), 512)
+    assert not _dw_vmem_ok(64, 128 * 128, 128, (512,), 512, 2)
+    # dx asymmetry: a much wider cout makes the transposed (dx)
+    # program the binding footprint even when the forward fits.
+    wide = nb_conv_vmem_ok(256, 256, (32,), 1024)
+    assert not wide
