@@ -141,6 +141,10 @@ def main(argv=None):
     p.add_argument("--streaming-slab", type=int,
                    help="denoise in z-slabs of this size (for crops "
                         "beyond device memory)")
+    p.add_argument("--patch", default="auto",
+                   help="patch size (int) or 'auto' to let "
+                        "inference.plan_tiling minimize overlap "
+                        "redundancy for the crop (default)")
     args = p.parse_args(argv)
     evaluate(
         args.ckpt_dir, args.img, args.out,
@@ -150,6 +154,9 @@ def main(argv=None):
         offset=args.offset, clevel=args.clevel,
         write_output=args.write_output,
         streaming_slab=args.streaming_slab,
+        patch_size=(
+            args.patch if args.patch == "auto" else int(args.patch)
+        ),
     )
 
 
