@@ -103,10 +103,11 @@ def max_pool3d_blocked(xb):
     and the z window is two consecutive slabs — one cheap reduction, no
     relayout of the full-resolution tensor.
     """
-    b, d, m, l4 = xb.data.shape
+    data = xb.interior()
+    b, d, m, l4 = data.shape
     c = l4 // 4
     d2 = d // 2  # odd trailing z slab is dropped, like VALID pooling
-    data = xb.data[:, :2 * d2]
+    data = data[:, :2 * d2]
     # Parity max via four contiguous lane slices (lanes are (p_y,p_x,c);
     # splitting the minor-most lane dim with a reshape forces cross-lane
     # shuffles), then a z-pair max on the sublane-major axis.
@@ -225,8 +226,15 @@ class GroupNorm(nn.Module):
         nc = data.shape[-1]
         xf = data.astype(jnp.float32)
         red = tuple(range(1, xf.ndim - 1))
-        s1 = xf.mean(axis=red)            # (B, nc)
-        s2 = (xf * xf).mean(axis=red)     # (B, nc)
+        if blocked:
+            # Halo-resident rows: the zeros don't perturb the SUMS, but
+            # the count must be the true interior voxel count.
+            n_true = data.shape[1] * x.m
+            s1 = xf.sum(axis=red) / n_true         # (B, nc)
+            s2 = (xf * xf).sum(axis=red) / n_true  # (B, nc)
+        else:
+            s1 = xf.mean(axis=red)            # (B, nc)
+            s2 = (xf * xf).mean(axis=red)     # (B, nc)
         if blocked:
             b_n = s1.shape[0]
             s1 = s1.reshape(b_n, 4, c).mean(axis=1)
@@ -246,7 +254,14 @@ class GroupNorm(nn.Module):
         bshape = (b_n,) + (1,) * (xf.ndim - 2) + (nc,)
         y = (xf * a_c.reshape(bshape) + b_c.reshape(bshape)).astype(
             self.dtype)
-        return Blocked(y, x.h, x.w) if blocked else y
+        if blocked:
+            # The affine's ``b_c`` landed in the resident halo rows —
+            # re-zero them (elementwise, fuses with the multiply-add;
+            # also kills the halo cotangent path in the VJP).
+            from exaspim_tpu.ops.nb_conv import zero_row_halos
+
+            return Blocked(zero_row_halos(y, x.w // 2), x.h, x.w)
+        return y
 
 
 class DoubleConv(nn.Module):
@@ -420,7 +435,13 @@ def resize_trilinear_blocked(x, align_corners=False):
             tx = jnp.asarray(mx[px::2], x.dtype)
             q = jnp.einsum("ij,bdhjc->bdhic", tx, t)
             parts.append(q.reshape(b, 2 * d, h * w, c))
-    return Blocked(jnp.concatenate(parts, axis=-1), 2 * h, 2 * w)
+    from exaspim_tpu.ops.nb_conv import _row_pad
+
+    p = _row_pad(w)  # blocked at (2h, 2w) → w2 = w
+    data = jnp.pad(
+        jnp.concatenate(parts, axis=-1), ((0, 0), (0, 0), (p, p), (0, 0))
+    )
+    return Blocked(data, 2 * h, 2 * w)
 
 
 class Up(nn.Module):

@@ -25,9 +25,12 @@ tensor the resident activation layout**:
   FLOP inflation) — measured faster than the minimal ``K = 48·C``
   panel, whose 32-lane unaligned stores cost ~3× more than the extra
   MXU rows save (scripts/nb_diag.py: 15 ms vs 22 ms; XLA conv 29 ms).
-* y out-of-range taps land in zero pad rows; x out-of-range taps are
+* y out-of-range taps land in the RESIDENT zero halo rows (the blocked
+  layout carries its row halo; producers keep it zero, so no per-conv
+  pad copy is ever materialized — round-2e); x out-of-range taps are
   masked in-kernel (the ±1 row shift wraps across ``g_y`` boundaries);
-  z taps are three BlockSpec views of the z-padded tensor.
+  z taps are clamped BlockSpec views of the unpadded tensor whose dots
+  are scaled by an in-kernel validity flag at the two z boundaries.
 * concat-style inputs (decoder skip connections) are supported without
   materializing a re-ordered concat: ``cin_splits`` describes the lane
   segmentation ``[(py,px,c_a) | (py,px,c_b)]`` and both the panel build
@@ -63,6 +66,7 @@ __all__ = [
     "Blocked",
     "to_blocked",
     "from_blocked",
+    "zero_row_halos",
     "nb_conv3d",
     "supports_nb_conv",
     "nb_conv_vmem_ok",
@@ -84,11 +88,15 @@ _GROUPS = (
 
 @jax.tree_util.register_pytree_node_class
 class Blocked:
-    """A natural-phase blocked activation: ``data`` is (B, D, h/2·w/2,
-    4C) with lanes (p_y, p_x, c); ``h``/``w`` are the unblocked y/x
-    extents (static). Passed between model layers so a whole stage runs
-    without layout round-trips — a 512 MB relayout costs ~12 ms on this
-    chip, which is the entire kernel win (measured, scripts/step_bench.py).
+    """A natural-phase blocked activation: ``data`` is (B, D, rp, 4C)
+    with lanes (p_y, p_x, c) and ``rp = h/2·w/2 + 2·row_pad`` — the
+    row-shift halo is RESIDENT (halo rows are zero) so convs read it
+    directly instead of re-materializing a padded copy per call (a
+    ~2 ms full-tensor HBM round trip each, measured round 2d).
+    ``h``/``w`` are the unblocked y/x extents (static). Passed between
+    model layers so a whole stage runs without layout round-trips — a
+    512 MB relayout costs ~12 ms on this chip, which is the entire
+    kernel win (measured, scripts/step_bench.py).
     """
 
     __slots__ = ("data", "h", "w")
@@ -102,16 +110,38 @@ class Blocked:
     def channels(self):
         return self.data.shape[-1] // 4
 
+    @property
+    def m(self):
+        """Interior rows: h/2 · w/2."""
+        return (self.h // 2) * (self.w // 2)
+
+    @property
+    def base(self):
+        """Halo rows per side."""
+        return _row_pad(self.w // 2)
+
+    def interior(self):
+        """The (B, D, m, 4C) interior view (halo rows stripped)."""
+        return self.data[:, :, self.base:self.base + self.m, :]
+
     def map(self, fn):
-        """Apply an elementwise function in blocked layout."""
+        """Apply an elementwise function in blocked layout.
+
+        ``fn`` must map zero to zero (LeakyReLU, scaling, …) so the
+        resident halo rows stay zero; affine ops (bias adds) must
+        re-zero the halos afterwards (see ``zero_row_halos``).
+        """
         return Blocked(fn(self.data), self.h, self.w)
 
     def unblock(self):
-        return from_blocked(self.data, self.h, self.w)
+        return from_blocked(self.interior(), self.h, self.w)
 
     @classmethod
     def block(cls, x):
-        return cls(to_blocked(x), x.shape[2], x.shape[3])
+        h, w = x.shape[2], x.shape[3]
+        p = _row_pad(w // 2)
+        data = jnp.pad(to_blocked(x), ((0, 0), (0, 0), (p, p), (0, 0)))
+        return cls(data, h, w)
 
     def tree_flatten(self):
         return (self.data,), (self.h, self.w)
@@ -136,6 +166,22 @@ def from_blocked(xb, h, w):
     xb = xb.reshape(b, d, h // 2, w // 2, 2, 2, c)
     xb = xb.transpose(0, 1, 2, 4, 3, 5, 6)
     return xb.reshape(b, d, h, w, c)
+
+
+def zero_row_halos(data, w2):
+    """Zero the resident halo rows of a (B, D, rp, L) blocked tensor.
+
+    Elementwise (same shape), so XLA fuses it into the producer — unlike
+    ``jnp.pad``, which materializes a copy. Used where an affine op put
+    non-zeros into the halo (GroupNorm bias) and on cotangents entering
+    the conv VJP (the conv's halo outputs are constant zeros, so their
+    cotangents must not leak into the transpose operator's shifts).
+    """
+    rp = data.shape[2]
+    base = _row_pad(w2)
+    m = rp - 2 * base
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, rp, 1), 2)
+    return jnp.where((idx >= base) & (idx < base + m), data, 0)
 
 
 def supports_nb_conv(h, w, cin_splits):
@@ -308,15 +354,24 @@ def _build_panel_chunk(h2, w2, cin_splits, chunk, xrefs, acc):
         acc[:, row - lo_row:row - lo_row + width] = seg_data
 
 
-def _fwd_kernel(h2, w2, cin_splits, zb, *refs):
+def _fwd_kernel(h2, w2, cin_splits, zb, d, *refs):
     """Slab-major forward: each input slab's im2col panel is built ONCE
     and contracted against the three z-tap weight sections, accumulating
     into the (up to three) output slices it influences — vs the naive
     output-major order that rebuilds shared slab panels per output slice
     (zb·3 builds per step instead of zb+2). Panel builds are the kernel's
     VMEM-copy bound; the dot FLOPs are identical.
+
+    The input is UNPADDED in z: view ``v``'s global slab is
+    ``zi·zb + v − 1`` (clamped in the BlockSpec index map), and every
+    dot is scaled by that view's validity — boundary taps vanish
+    without a host-side pad copy. Rows arrive halo-resident (rp rows,
+    zero halos); the output is written halo-resident too.
     """
     *xrefs, wp, out, racc, acc = refs
+    m = h2 * w2
+    base = _row_pad(w2)
+    zi = pl.program_id(1)
     n_seg = len(cin_splits)
     nch = _n_chunks(cin_splits)
     nch3 = nch // 3
@@ -326,6 +381,8 @@ def _fwd_kernel(h2, w2, cin_splits, zb, *refs):
         # Views are laid out [v0_seg0, v0_seg1, …, v1_seg0, …]; output
         # slice zoff reads views zoff..zoff+2 (z-tap tz = v − zoff).
         views = xrefs[v * n_seg:(v + 1) * n_seg]
+        z_src = zi * zb + v - 1
+        vf = ((z_src >= 0) & (z_src < d)).astype(jnp.float32)
         for cls in range(nch3):
             _build_panel_chunk(h2, w2, cin_splits, cls, views, acc)
             for tz in range(3):
@@ -333,7 +390,7 @@ def _fwd_kernel(h2, w2, cin_splits, zb, *refs):
                 if not 0 <= zoff < zb:
                     continue
                 r0 = tz * k3 + cls * kc
-                part = jnp.dot(
+                part = vf * jnp.dot(
                     acc[...], wp[r0:r0 + kc, :],
                     preferred_element_type=jnp.float32,
                 )
@@ -342,10 +399,22 @@ def _fwd_kernel(h2, w2, cin_splits, zb, *refs):
                 else:
                     racc[zoff] = racc[zoff] + part
                 if tz == 2 and cls == nch3 - 1:  # last contribution
-                    out[0, zoff] = racc[zoff].astype(out.dtype)
+                    out[0, zoff, base:base + m] = (
+                        racc[zoff].astype(out.dtype)
+                    )
+                    if v == zb + 1 and zoff == zb - 1:
+                        # Once per grid step: zero the resident halos.
+                        lo = out.shape[-1]
+                        for z2 in range(zb):
+                            out[0, z2, :base] = jnp.zeros(
+                                (base, lo), out.dtype
+                            )
+                            out[0, z2, base + m:] = jnp.zeros(
+                                (base, lo), out.dtype
+                            )
 
 
-def _dw_kernel(h2, w2, cin_splits, zb, *refs):
+def _dw_kernel(h2, w2, cin_splits, zb, d, *refs):
     """Rolling-z dL/dW: each grid step owns ``zb`` INPUT slabs; a slab's
     im2col panel is built ONCE and contracted against the three output-z
     gradient slabs it influences (``dwp[tz] = Σ_s panel(x[s])ᵀ g[s+1−tz]``,
@@ -354,17 +423,23 @@ def _dw_kernel(h2, w2, cin_splits, zb, *refs):
     bound of this kernel, so sharing them is the whole win; the dot FLOPs
     are identical (each tz section only contracts its own slab rows).
 
-    ``g`` arrives z-padded by one zero slab each side, so boundary taps
-    contribute zero without masking.
+    ``g`` arrives UNPADDED in z: its views are clamped in the BlockSpec
+    index map and each dot is scaled by the view's validity, so
+    boundary taps vanish without a host-side pad copy. Both ``x`` and
+    ``g`` rows arrive halo-resident (rp rows); the panel builds read
+    the x halos, the g dots use the interior rows only.
     """
     *refs_in, dwp, acc = refs
+    m = h2 * w2
+    base = _row_pad(w2)
+    zi = pl.program_id(1)
     n_seg = len(cin_splits)
     xrefs = refs_in[:zb * n_seg]
     grefs = refs_in[zb * n_seg:]
     k3 = _k_dim(cin_splits) // 3
     nch = _n_chunks(cin_splits) // 3
     kc = k3 // nch
-    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    first = (pl.program_id(0) == 0) & (zi == 0)
     for zoff in range(zb):
         views = xrefs[zoff * n_seg:(zoff + 1) * n_seg]
         for chunk in range(nch):
@@ -372,8 +447,11 @@ def _dw_kernel(h2, w2, cin_splits, zb, *refs):
             # built from views[seg] — the per-slab panel section.
             _build_panel_chunk(h2, w2, cin_splits, chunk, views, acc)
             for tz in range(3):
-                part = jax.lax.dot_general(
-                    acc[...], grefs[zoff + 2 - tz][0, 0],
+                gv = zoff + 2 - tz
+                g_src = zi * zb + gv - 1
+                vf = ((g_src >= 0) & (g_src < d)).astype(jnp.float32)
+                part = vf * jax.lax.dot_general(
+                    acc[...], grefs[gv][0, 0, base:base + m, :],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -389,10 +467,10 @@ def _dw_kernel(h2, w2, cin_splits, zb, *refs):
                     dwp[r0:r0 + kc, :] = dwp[r0:r0 + kc, :] + part
 
 
-def _pad_blocked(xb, w2):
-    """Zero-pad one z slab each side and the y-shift halo rows."""
-    p = _row_pad(w2)
-    return jnp.pad(xb, ((0, 0), (1, 1), (p, p), (0, 0)))
+def _interior(xb, w2):
+    """Strip the resident halo rows of a raw (B, D, rp, L) tensor."""
+    base = _row_pad(w2)
+    return xb[:, :, base:xb.shape[2] - base, :]
 
 
 def _vmem_bytes(zb, m, w2, cin_splits, cout, isz, for_dw):
@@ -418,14 +496,14 @@ def _vmem_bytes(zb, m, w2, cin_splits, cout, isz, for_dw):
     if for_dw:
         return (
             2 * zb * views_per          # x slab views
-            + 2 * (zb + 2) * m * lo * isz  # gradient slab views
+            + 2 * (zb + 2) * rp * lo * isz  # gradient slab views
             + 2 * k * lo * 4            # f32 packed-gradient output
             + panel
         )
     return (
         2 * (zb + 2) * views_per        # input z views
         + k * lo * isz                  # packed weights (constant map)
-        + 2 * zb * m * lo * isz         # output block
+        + 2 * zb * rp * lo * isz        # output block (halo-resident)
         + zb * m * lo * 4               # f32 row accumulator scratch
         + panel
     )
@@ -524,8 +602,10 @@ def _z_block(d, cin_splits, cout, m, w2, isz, for_dw=False,
     )
 
 
-def _x_specs(m, w2, lanes_per_seg, n_seg, zb):
-    """zb+2 single-slab z-views per input segment of the padded x."""
+def _x_specs(m, w2, lanes_per_seg, n_seg, zb, d):
+    """zb+2 single-slab z-views per input segment; the source slab
+    index ``zi·zb + v − 1`` is clamped into range (the kernel scales
+    out-of-range views' dots to zero)."""
     rp = m + 2 * _row_pad(w2)
     specs = []
     for v in range(zb + 2):
@@ -533,7 +613,9 @@ def _x_specs(m, w2, lanes_per_seg, n_seg, zb):
             specs.append(
                 pl.BlockSpec(
                     (1, 1, rp, lanes_per_seg[s]),
-                    (lambda bi, zi, _v=v, _zb=zb: (bi, zi * _zb + _v, 0, 0)),
+                    (lambda bi, zi, _v=v, _zb=zb: (
+                        bi, jnp.clip(zi * _zb + _v - 1, 0, d - 1), 0, 0
+                    )),
                     memory_space=pltpu.VMEM,
                 )
             )
@@ -542,7 +624,7 @@ def _x_specs(m, w2, lanes_per_seg, n_seg, zb):
 
 def _grid_call(kernel, h2, w2, cin_splits, xbs, tail_in, out_shape,
                out_spec, acc_dtype, interpret, zb):
-    b, d = xbs[0].shape[0], xbs[0].shape[1] - 2
+    b, d = xbs[0].shape[0], xbs[0].shape[1]
     m = h2 * w2
     k = _k_dim(cin_splits)
     n_seg = len(xbs)
@@ -552,10 +634,10 @@ def _grid_call(kernel, h2, w2, cin_splits, xbs, tail_in, out_shape,
     for _v in range(zb + 2):
         ins.extend(xbs)
     return pl.pallas_call(
-        functools.partial(kernel, h2, w2, cin_splits, zb),
+        functools.partial(kernel, h2, w2, cin_splits, zb, d),
         out_shape=out_shape,
         grid=(b, d // zb),
-        in_specs=_x_specs(m, w2, lanes, n_seg, zb) + [tail_in[0]],
+        in_specs=_x_specs(m, w2, lanes, n_seg, zb, d) + [tail_in[0]],
         out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((zb, m, out_shape.shape[-1]), jnp.float32),
@@ -572,6 +654,7 @@ def _grid_call(kernel, h2, w2, cin_splits, xbs, tail_in, out_shape,
 def _nb_conv_fwd(xs, k3, h, w, cin_splits, interpret=False):
     h2, w2 = h // 2, w // 2
     m = h2 * w2
+    rp = m + 2 * _row_pad(w2)
     b, d = xs[0].shape[0], xs[0].shape[1]
     cout = k3.shape[-1]
     lo = 4 * cout
@@ -579,15 +662,14 @@ def _nb_conv_fwd(xs, k3, h, w, cin_splits, interpret=False):
     dt = xs[0].dtype
     zb = _z_block(d, cin_splits, cout, m, w2, dt.itemsize,
                   interpret=interpret)
-    xps = tuple(_pad_blocked(xb, w2) for xb in xs)
     wp = _pack_weights_fn(cin_splits, cout)(k3).astype(dt)
     wspec = pl.BlockSpec((k, lo), lambda bi, zi: (0, 0),
                          memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, zb, m, lo), lambda bi, zi: (bi, zi, 0, 0),
+    out_spec = pl.BlockSpec((1, zb, rp, lo), lambda bi, zi: (bi, zi, 0, 0),
                             memory_space=pltpu.VMEM)
     return _grid_call(
-        _fwd_kernel, h2, w2, cin_splits, xps, (wspec, wp),
-        jax.ShapeDtypeStruct((b, d, m, lo), dt), out_spec, dt, interpret,
+        _fwd_kernel, h2, w2, cin_splits, xs, (wspec, wp),
+        jax.ShapeDtypeStruct((b, d, rp, lo), dt), out_spec, dt, interpret,
         zb,
     )
 
@@ -607,13 +689,10 @@ def _nb_conv_dw(xs, g, h, w, cin_splits, interpret=False):
     zb = _z_block(d, cin_splits, cout, m, w2, dt.itemsize, for_dw=True,
                   interpret=interpret)
     n_seg = len(cin_splits)
-    # Row-pad only (panels never cross z in the rolling layout); g gets
-    # one zero z-slab each side so boundary taps vanish without masks.
-    xps = tuple(
-        jnp.pad(xb, ((0, 0), (0, 0), (_row_pad(w2),) * 2, (0, 0)))
-        for xb in xs
-    )
-    gp = jnp.pad(g, ((0, 0), (1, 1), (0, 0), (0, 0))).astype(dt)
+    # x slab views are in-range by construction (rolling layout, panels
+    # never cross z); g views are clamped and their dots scaled by
+    # validity in-kernel, so no host-side pad copies are needed.
+    gd = g.astype(dt)
     in_specs, ins = [], []
     for v in range(zb):
         for s in range(n_seg):
@@ -622,16 +701,18 @@ def _nb_conv_dw(xs, g, h, w, cin_splits, interpret=False):
                 (lambda bi, zi, _v=v, _zb=zb: (bi, zi * _zb + _v, 0, 0)),
                 memory_space=pltpu.VMEM,
             ))
-            ins.append(xps[s])
+            ins.append(xs[s])
     for v in range(zb + 2):
         in_specs.append(pl.BlockSpec(
-            (1, 1, m, lo),
-            (lambda bi, zi, _v=v, _zb=zb: (bi, zi * _zb + _v, 0, 0)),
+            (1, 1, rp, lo),
+            (lambda bi, zi, _v=v, _zb=zb: (
+                bi, jnp.clip(zi * _zb + _v - 1, 0, d - 1), 0, 0
+            )),
             memory_space=pltpu.VMEM,
         ))
-        ins.append(gp)
+        ins.append(gd)
     dwp = pl.pallas_call(
-        functools.partial(_dw_kernel, h2, w2, cin_splits, zb),
+        functools.partial(_dw_kernel, h2, w2, cin_splits, zb, d),
         out_shape=jax.ShapeDtypeStruct((k, lo), jnp.float32),
         grid=(b, d // zb),
         in_specs=in_specs,
@@ -646,18 +727,41 @@ def _nb_conv_dw(xs, g, h, w, cin_splits, interpret=False):
     return _unpack_wgrad_fn(cin_splits, cout)(dwp)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def nb_conv3d(xs, k3, h, w, cin_splits, interpret=False):
     """3³ SAME conv (no bias) in natural-phase blocked layout.
 
+    Accepts halo-resident ``(B, D, rp, 4c)`` tensors (``Blocked.data``,
+    the zero-copy hot path) or bare ``(B, D, h/2·w/2, 4c)`` blocked
+    tensors (convenience; padded here, and the output is returned
+    bare to match). See :func:`_nb_conv3d_core` for the layout contract.
+    """
+    m = (h // 2) * (w // 2)
+    if xs[0].shape[2] == m:  # bare m-row inputs → pad, slice back
+        p = _row_pad(w // 2)
+        xs = tuple(
+            jnp.pad(xb, ((0, 0), (0, 0), (p, p), (0, 0))) for xb in xs
+        )
+        return _interior(
+            _nb_conv3d_core(xs, k3, h, w, cin_splits, interpret), w // 2
+        )
+    return _nb_conv3d_core(xs, k3, h, w, cin_splits, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _nb_conv3d_core(xs, k3, h, w, cin_splits, interpret=False):
+    """3³ SAME conv (no bias) in natural-phase blocked layout.
+
     Args:
-      xs: tuple of blocked tensors ``(B, D, h/2·w/2, 4·c_i)`` — more
-        than one element expresses a channel concat without relayout.
+      xs: tuple of halo-resident blocked tensors ``(B, D, rp, 4·c_i)``
+        with ``rp = h/2·w/2 + 2·(w/2+8)`` and ZERO halo rows
+        (``Blocked.data`` — more than one element expresses a channel
+        concat without relayout).
       k3: ``(3, 3, 3, Σc_i, cout)`` taps (DHWIO, the lax convention).
       h, w: the unblocked y/x extent (static).
       cin_splits: static tuple of the per-tensor channel counts.
 
-    Returns the blocked output ``(B, D, h/2·w/2, 4·cout)`` — equal to
+    Returns the halo-resident blocked output ``(B, D, rp, 4·cout)``
+    (zero halos) whose interior equals
     ``to_blocked(lax.conv_general_dilated(from_blocked(x), k3, "SAME"))``.
     """
     return _nb_conv_fwd(xs, k3, h, w, cin_splits, interpret)
@@ -677,10 +781,11 @@ def _dw_xla(xs, g, k3, h, w, cin_splits):
     ``from_blocked`` relayouts on every activation; measured
     scripts/step_bench.py: 326 ms pallas-dw vs 433 ms xla-dw).
     """
+    w2 = w // 2
     xu = jnp.concatenate(
-        [from_blocked(xb, h, w) for xb in xs], axis=-1
+        [from_blocked(_interior(xb, w2), h, w) for xb in xs], axis=-1
     ).astype(jnp.float32)
-    gu = from_blocked(g, h, w).astype(jnp.float32)
+    gu = from_blocked(_interior(g, w2), h, w).astype(jnp.float32)
 
     def fwd_ref(kk):
         y = jax.lax.conv_general_dilated(
@@ -697,20 +802,26 @@ def _vjp_bwd(h, w, cin_splits, interpret, res, g):
 
     xs, k3 = res
     cout = k3.shape[-1]
+    # The conv's halo-row outputs are constant zeros, so cotangents
+    # arriving there (e.g. through GroupNorm's global stats) have a
+    # zero Jacobian path — mask them before the transpose operator's
+    # shifted reads can ingest them. Elementwise → fuses upstream.
+    g = zero_row_halos(g, w // 2)
     # dL/dx: same operator, flipped taps, channels transposed. The
     # blocked layout is self-adjoint so dx comes out blocked, then is
     # split back onto the input segments.
     k3_t = jnp.flip(k3, axis=(0, 1, 2)).swapaxes(3, 4)
     dx_all = _nb_conv_fwd((g,), k3_t, h, w, (cout,), interpret)
     # dx_all lanes are (p_y, p_x, c) over the *combined* channels;
-    # split back onto per-segment (p_y, p_x, c_i) lane layouts.
-    b, d, m, _ = dx_all.shape
+    # split back onto per-segment (p_y, p_x, c_i) lane layouts — row
+    # dim stays halo-resident (rp), matching the primal x layouts.
+    b, d, rp, _ = dx_all.shape
     cin = sum(cin_splits)
-    dx5 = dx_all.reshape(b, d, m, 4, cin)
+    dx5 = dx_all.reshape(b, d, rp, 4, cin)
     dxs = []
     o = 0
     for c in cin_splits:
-        dxs.append(dx5[..., o:o + c].reshape(b, d, m, 4 * c))
+        dxs.append(dx5[..., o:o + c].reshape(b, d, rp, 4 * c))
         o += c
     pallas_dw = (
         os.environ.get("EXASPIM_NB_DW", "pallas") == "pallas"
@@ -726,4 +837,4 @@ def _vjp_bwd(h, w, cin_splits, interpret, res, g):
     return tuple(dxs), dk3.astype(k3.dtype)
 
 
-nb_conv3d.defvjp(_vjp_fwd, _vjp_bwd)
+_nb_conv3d_core.defvjp(_vjp_fwd, _vjp_bwd)

@@ -211,7 +211,8 @@ def test_resize_trilinear_blocked_matches_plain():
         got = resize_trilinear_blocked(x, ac)
         want = to_blocked(resize_trilinear(x, (6, 16, 24), ac))
         np.testing.assert_allclose(
-            np.asarray(got.data), np.asarray(want), atol=1e-5, rtol=1e-5
+            np.asarray(got.interior()), np.asarray(want),
+            atol=1e-5, rtol=1e-5,
         )
         assert (got.h, got.w) == (16, 24)
 
