@@ -38,6 +38,10 @@ def test_blocked_roundtrip():
     (32, 32, (1, 4, 32, 32)),
     (32, 64, (2, 2, 32, 48)),
     (64, 32, (1, 2, 48, 32)),
+    # d=8 runs a multi-step z grid (zb=4): interior steps read only
+    # clamped-in-range views while the first/last steps exercise the
+    # z-boundary validity masking on both edges.
+    (32, 32, (1, 8, 32, 32)),
 ])
 def test_nb_conv_matches_lax(cin, cout, shape):
     b, d, h, w = shape
@@ -74,8 +78,11 @@ def test_nb_conv_concat_segments_match_lax():
     )
 
 
-def test_nb_conv_grads_match_lax():
-    b, d, h, w, cin, cout = 1, 2, 32, 32, 32, 32
+@pytest.mark.parametrize("d", [2, 8])
+def test_nb_conv_grads_match_lax(d):
+    # d=8 → multi-step z grids in BOTH backward kernels (dx via the
+    # clamped forward, dw via clamped gradient views).
+    b, h, w, cin, cout = 1, 32, 32, 32, 32
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(b, d, h, w, cin)).astype(np.float32))
     k = jnp.asarray(
