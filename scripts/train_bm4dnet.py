@@ -54,6 +54,13 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
     val_ds = CachedValidateDataset(val_cache)
 
     dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if resume and model_cfg is None:
+        # Warm-starting from a checkpoint (e.g. a self-supervised N2V
+        # run being fine-tuned on BM4D teachers): take the architecture
+        # from the checkpoint itself so the weights always fit.
+        from exaspim_tpu.train.checkpoint import load_checkpoint
+
+        model_cfg = load_checkpoint(resume)["model_config"]
     # blocked="auto": the rolling-z Pallas kernels (ops/nb_conv.py) win
     # for BOTH forward and training on TPU — measured 326 vs 347 ms per
     # batch-32 64^3 train step against XLA's fused conv gradients

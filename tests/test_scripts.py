@@ -88,6 +88,23 @@ def trained(caches, tmp_path_factory):
     return trainer
 
 
+def test_train_resume_adopts_checkpoint_architecture(trained, caches,
+                                                     tmp_path):
+    """--resume with no explicit model config must build the model from
+    the checkpoint's own model_config (e.g. fine-tuning a
+    residual=False N2V run on teachers) so the weights always fit."""
+    import glob as _glob
+
+    train_dir, val_dir = caches
+    ckpt = sorted(_glob.glob(os.path.join(trained.ckpt_dir, "*.ckpt")))[0]
+    trainer = train_script.train(
+        [train_dir], [val_dir], str(tmp_path), epochs=1, batch_size=3,
+        val_every=10, width_multiplier=1.0,  # ignored: ckpt says 0.25
+        bf16=False, max_val_examples=1, resume=ckpt,
+    )
+    assert trainer.model.config["width_multiplier"] == 0.25
+
+
 def test_train_produces_scored_checkpoints(trained):
     ckpts = glob.glob(os.path.join(trained.ckpt_dir, "*.ckpt"))
     assert ckpts
