@@ -140,31 +140,11 @@ def main():
     # block i+1 overlap compute of block i (JAX async dispatch). This is
     # the deployment number; a whole-brain run processes thousands of
     # blocks back to back.
-    from exaspim_tpu.inference import (
-        _model_apply,
-        _tiled_program,
-        generate_patch_starts,
-    )
+    from exaspim_tpu.inference import build_tiled_program
 
     blocks = [img, noisy_observation(clean, seed=7)]
-    starts = generate_patch_starts(img.shape, inf_patch, OVERLAP)
-    stride = inf_patch - OVERLAP
-    grid_dims = tuple(
-        len(range(0, max(d - inf_patch + stride, 1), stride))
-        for d in img.shape
-    )
-    padded = tuple(
-        max(int(starts[:, d].max()) + inf_patch, img.shape[d])
-        for d in range(3)
-    )
-    n_pad = (-len(starts)) % inf_batch
-    if n_pad:
-        starts = np.concatenate(
-            [starts, np.repeat(starts[-1:], n_pad, axis=0)]
-        )
-    program = _tiled_program(
-        _model_apply(model), transform, padded, img.shape, inf_patch,
-        stride, inf_batch, TRIM, grid_dims, False,
+    program, starts = build_tiled_program(
+        model, transform, img.shape, inf_patch, OVERLAP, TRIM, inf_batch
     )
     dstarts = jnp.asarray(starts)
     n_runs = 6

@@ -45,6 +45,7 @@ __all__ = [
     "generate_patch_starts",
     "count_patches",
     "plan_tiling",
+    "build_tiled_program",
     "build_volume_transform",
 ]
 
@@ -100,7 +101,13 @@ def plan_tiling(shape, overlap=12, candidates=(64, 96, 128),
         if best is None or total < best[0]:
             best = (total, P, n)
     if best is None:  # volume smaller than every candidate
-        P = max(16, min(shape) // 16 * 16)
+        P = min(shape) // 16 * 16
+        if P < 16 or P <= overlap:
+            raise ValueError(
+                f"volume {tuple(shape)} too small for auto tiling "
+                f"(needs every dim ≥ 16 and a 16-multiple patch "
+                f"> overlap {overlap})"
+            )
         return P, 1
     _, P, n = best
     target_b = max(1, min(n, round(target_batch_voxels / P ** 3)))
@@ -358,35 +365,51 @@ def predict(img, model, params, transform, patch_size=64, overlap=12,
             batch_size, max_device_voxels, return_float, output_clip,
         )
 
-    starts = generate_patch_starts(img.shape, patch_size, overlap)
+    params = commit_params(params)
+    program, starts = build_tiled_program(
+        model, transform, img.shape, patch_size, overlap, trim,
+        batch_size, return_float=return_float, output_clip=output_clip,
+    )
+    return np.asarray(program(params, jnp.asarray(img), jnp.asarray(starts)))
+
+
+def build_tiled_program(model, transform, shape, patch_size=64,
+                        overlap=12, trim=5, batch_size=32,
+                        return_float=False, output_clip=None):
+    """The one-XLA-program tiled engine for a block of ``shape``.
+
+    Returns ``(program, starts)`` where ``program(params, img, starts)``
+    denoises one device-resident block and ``starts`` is the
+    tail-padded (n, 3) patch-origin array. :func:`predict` and the
+    benchmark/A-B harnesses all build their program here, so they
+    measure exactly the production computation.
+    """
+    shape = tuple(shape)
+    starts = generate_patch_starts(shape, patch_size, overlap)
     stride = patch_size - overlap
     grid_dims = tuple(
         len(range(0, max(d - patch_size + stride, 1), stride))
-        for d in img.shape
+        for d in shape
     )
     # Pad volume so every patch is fully in-bounds (constant pad in the
     # transform domain, like reference add_padding).
     padded_shape = tuple(
-        max(int(starts[:, d].max()) + patch_size, img.shape[d])
+        max(int(starts[:, d].max()) + patch_size, shape[d])
         for d in range(3)
     )
-    n = len(starts)
-    n_pad = (-n) % batch_size
+    n_pad = (-len(starts)) % batch_size
     if n_pad:
         starts = np.concatenate([starts, np.repeat(
             starts[-1:], n_pad, axis=0
         )])
-
-    params = commit_params(params)
-    apply_fn = _model_apply(model)
     program = _tiled_program(
-        apply_fn, transform, padded_shape, img.shape, patch_size,
+        _model_apply(model), transform, padded_shape, shape, patch_size,
         stride, batch_size, trim, grid_dims, bool(return_float),
         output_clip if output_clip is None else (
             "input" if output_clip == "input" else tuple(output_clip)
         ),
     )
-    return np.asarray(program(params, jnp.asarray(img), jnp.asarray(starts)))
+    return program, starts
 
 
 def _predict_streaming(img, model, params, transform, patch_size, overlap,

@@ -162,6 +162,8 @@ class Conv(nn.Module):
         )
         k = kernel.astype(self.dtype)
         if blocked_in and self.window == 1:
+            from exaspim_tpu.ops.nb_conv import zero_row_halos
+
             wtile = jnp.kron(
                 jnp.eye(4, dtype=self.dtype),
                 k.reshape(cin, self.features),
@@ -170,7 +172,12 @@ class Conv(nn.Module):
                 "bdml,lf->bdmf", x.data.astype(self.dtype), wtile
             )
             if bias is not None:
-                y = y + jnp.tile(bias, 4).astype(self.dtype)
+                # Re-zero the resident halo rows the bias just filled —
+                # the Blocked contract every consumer relies on (fused
+                # into the einsum epilogue, no extra pass).
+                y = zero_row_halos(
+                    y + jnp.tile(bias, 4).astype(self.dtype), w // 2
+                )
             return Blocked(y, h, w)
         if blocked_in:
             segs = x if isinstance(x, (tuple, list)) else (x,)

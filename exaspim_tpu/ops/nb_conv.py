@@ -477,12 +477,14 @@ def _vmem_bytes(zb, m, w2, cin_splits, cout, isz, for_dw):
     """Estimated VMEM footprint of one grid step.
 
     Streamed input/output blocks are counted twice (Mosaic
-    double-buffers them across grid steps); constant-index blocks (the
-    packed weights / packed-gradient accumulator) and scratch once.
-    The estimate undercounts Mosaic's true scoped allocation (the
+    double-buffers them across grid steps; the dw packed-gradient
+    output is constant-index but counted twice anyway, erring
+    conservative); the packed-weight block and scratch count once.
+    The estimate still undercounts Mosaic's true scoped allocation (the
     compiler reported 17.56 MiB for a config this formula puts at
-    11.47 MiB — extra stack copies the formula cannot see), so callers
-    apply ``_EST_CALIB`` before comparing against ``_VMEM_LIMIT``."""
+    11.47 MiB — extra stack copies the formula cannot see), which is
+    why callers compare against the derated ``_EST_BUDGET`` rather
+    than the ``_VMEM_REQUEST`` actually granted to the kernel."""
     def lanes(n):
         # VMEM blocks tile the minor dim to 128 lanes — a 4-lane view
         # (1-channel entry conv) still occupies 128 lanes per row.

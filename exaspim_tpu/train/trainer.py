@@ -117,9 +117,13 @@ class Trainer:
     # ------------------------------------------------------------- setup
 
     def load_pretrained_weights(self, ckpt_path):
-        """Stage params from a checkpoint; model-config mismatch rejects
+        """Stage params from a checkpoint (path or an already-loaded
+        checkpoint dict); model-config mismatch rejects
         (reference train.py:376-401)."""
-        ckpt = load_checkpoint(ckpt_path)
+        ckpt = (
+            ckpt_path if isinstance(ckpt_path, dict)
+            else load_checkpoint(ckpt_path)
+        )
         if ckpt["model_config"] != self.model.config:
             raise ValueError(
                 "checkpoint model_config does not match this model: "

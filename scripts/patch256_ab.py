@@ -13,12 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from exaspim_tpu.data.synthetic import neurite_phantom, noisy_observation
-from exaspim_tpu.inference import (
-    _model_apply,
-    _tiled_program,
-    commit_params,
-    generate_patch_starts,
-)
+from exaspim_tpu.inference import build_tiled_program, commit_params
 from exaspim_tpu.models import build_model
 from exaspim_tpu.ops.ssim import psnr
 from exaspim_tpu.train.checkpoint import load_checkpoint
@@ -40,18 +35,8 @@ def main():
     checksum = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
     dimg = jax.device_put(jnp.asarray(img))
 
-    starts = generate_patch_starts(img.shape, P, OVERLAP)
-    stride = P - OVERLAP
-    grid_dims = tuple(
-        len(range(0, max(d - P + stride, 1), stride))
-        for d in img.shape
-    )
-    padded = tuple(
-        max(int(starts[:, d].max()) + P, img.shape[d]) for d in range(3)
-    )
-    program = _tiled_program(
-        _model_apply(model), transform, padded, img.shape, P,
-        stride, 1, TRIM, grid_dims, False,
+    program, starts = build_tiled_program(
+        model, transform, img.shape, P, OVERLAP, TRIM, batch_size=1
     )
     dstarts = jnp.asarray(starts)
     print(f"P={P} n={len(starts)} compiling...", flush=True)

@@ -14,10 +14,8 @@ import numpy as np
 
 from exaspim_tpu.data.synthetic import neurite_phantom, noisy_observation
 from exaspim_tpu.inference import (
-    _model_apply,
-    _tiled_program,
+    build_tiled_program,
     commit_params,
-    generate_patch_starts,
     plan_tiling,
 )
 from exaspim_tpu.models import build_model
@@ -42,24 +40,8 @@ def main():
 
     for P in patches:
         _, batch = plan_tiling(img.shape, OVERLAP, candidates=(P,))
-        starts = generate_patch_starts(img.shape, P, OVERLAP)
-        stride = P - OVERLAP
-        grid_dims = tuple(
-            len(range(0, max(d - P + stride, 1), stride))
-            for d in img.shape
-        )
-        padded = tuple(
-            max(int(starts[:, d].max()) + P, img.shape[d])
-            for d in range(3)
-        )
-        n_pad = (-len(starts)) % batch
-        if n_pad:
-            starts = np.concatenate(
-                [starts, np.repeat(starts[-1:], n_pad, axis=0)]
-            )
-        program = _tiled_program(
-            _model_apply(model), transform, padded, img.shape, P,
-            stride, batch, TRIM, grid_dims, False,
+        program, starts = build_tiled_program(
+            model, transform, img.shape, P, OVERLAP, TRIM, batch
         )
         dstarts = jnp.asarray(starts)
         print(f"P={P} batch={batch} n={len(starts)} compiling...",

@@ -54,13 +54,16 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
     val_ds = CachedValidateDataset(val_cache)
 
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    if resume and model_cfg is None:
+    if resume:
         # Warm-starting from a checkpoint (e.g. a self-supervised N2V
-        # run being fine-tuned on BM4D teachers): take the architecture
-        # from the checkpoint itself so the weights always fit.
+        # run being fine-tuned on BM4D teachers): load it ONCE, take
+        # the architecture from it when none is given so the weights
+        # always fit, and hand the loaded dict to the trainer.
         from exaspim_tpu.train.checkpoint import load_checkpoint
 
-        model_cfg = load_checkpoint(resume)["model_config"]
+        resume = load_checkpoint(resume)
+        if model_cfg is None:
+            model_cfg = resume["model_config"]
     # blocked="auto": the rolling-z Pallas kernels (ops/nb_conv.py) win
     # for BOTH forward and training on TPU — measured 326 vs 347 ms per
     # batch-32 64^3 train step against XLA's fused conv gradients
