@@ -89,6 +89,15 @@ def predict_sharded(img, model, params, transform, mesh, patch_size=64,
     img = np.asarray(img)
     if img.ndim != 3:
         raise ValueError(f"expected 3D volume, got {img.shape}")
+    if patch_size == "auto":
+        # Plan on the per-chip slab geometry: every shard's core must
+        # hold at least one patch (plan_shards validates core >= patch).
+        from exaspim_tpu.inference import plan_tiling
+
+        patch_size, batch_size = plan_tiling(
+            (max(img.shape[0] // mesh.devices.size, 1),) + img.shape[1:],
+            overlap,
+        )
     if overlap < 2 * trim:
         # Same gap-free stitching contract as inference.predict: trimmed
         # patches must still tile the stride or interior voxels get zero

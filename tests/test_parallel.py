@@ -68,6 +68,24 @@ def test_sharded_equals_single_device_known_function():
     np.testing.assert_allclose(shd, single, atol=1e-3)
 
 
+def test_sharded_auto_patch_matches_explicit():
+    """predict_sharded patch_size='auto' plans on the per-chip slab."""
+    t = build_transform(TCFG)
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 900, (64, 36, 33)).astype(np.uint16)
+    mesh = make_mesh(4, axis="z")
+    # Per-chip slab (16, 36, 33) → fallback patch 16, batch 1.
+    auto = predict_sharded(
+        img, DoublePlusOne(), {}, t, mesh, patch_size="auto", overlap=4,
+        trim=2, return_float=True,
+    )
+    explicit = predict_sharded(
+        img, DoublePlusOne(), {}, t, mesh, patch_size=16, overlap=4,
+        trim=2, batch_size=1, return_float=True,
+    )
+    np.testing.assert_allclose(auto, explicit, atol=1e-5)
+
+
 def test_sharded_equals_single_device_unet():
     t = build_transform(TCFG)
     m = UNet(width_multiplier=0.25)
