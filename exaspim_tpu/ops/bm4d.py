@@ -9,13 +9,14 @@ pure-JAX/XLA implementation designed for the MXU:
   fixed search window — block matching is a dense distance computation
   over all window offsets followed by ``lax.top_k``; no data-dependent
   control flow.
-* **Transforms as small matmuls**: the separable 3D DCT over block axes
-  and the 1D DCT across the group axis are einsums against tiny
-  orthonormal matrices — XLA batches thousands of them onto the MXU.
+* **Transforms as one GEMM**: the separable 4D DCT (3D over block
+  axes ⊗ 1D across the group axis) is applied as a single Kronecker
+  matrix (K·B³, K·B³) — one MXU-shaped matmul per direction instead
+  of eight narrow per-axis einsum passes through HBM.
 * **Row-wise data movement**: group blocks gather as whole B³-element
   rows from a conv-extracted patch view, and overlap-add aggregation
-  scatters rows then folds them back with dense shifted adds — scalar
-  gathers/scatters (which serialize on TPU) never appear.
+  scatters rows then folds them back with a single col2im conv —
+  scalar gathers/scatters (which serialize on TPU) never appear.
 * Two-pass structure: stage 1 hard-thresholding produces the basic
   estimate; stage 2 re-matches on the estimate and applies empirical
   Wiener shrinkage (the classical algorithm's structure, reimplemented
@@ -41,29 +42,48 @@ __all__ = ["bm4d", "bm4d_stage"]
 _SCATTER_CHUNK_BYTES = 400e6
 
 
-def _dct_matrix(n):
-    """Orthonormal DCT-II matrix (n, n)."""
+def _dct_matrix_np(n):
+    """Orthonormal DCT-II matrix (n, n), numpy."""
     k = np.arange(n)[:, None]
     i = np.arange(n)[None, :]
     mat = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
     mat[0] *= 1.0 / np.sqrt(n)
     mat[1:] *= np.sqrt(2.0 / n)
-    return jnp.asarray(mat, jnp.float32)
+    return mat.astype(np.float32)
 
 
-def _block_dct3(groups, mat, inverse=False):
-    """Separable 3D DCT over the last three axes of (..., B, B, B)."""
-    m = mat.T if inverse else mat
-    groups = jnp.einsum("ij,...jkl->...ikl", m, groups)
-    groups = jnp.einsum("ij,...kjl->...kil", m, groups)
-    groups = jnp.einsum("ij,...klj->...kli", m, groups)
-    return groups
+@functools.lru_cache(maxsize=None)
+def _dct4_matrix_np(k, b):
+    """Full 4D group transform as one Kronecker matrix (K·B³, K·B³).
+
+    The separable 4D DCT (1D across the group axis ⊗ 3D over block
+    axes) applied to a row-major-flattened group vector is a single
+    (K·B³, K·B³) matrix. One MXU-shaped GEMM per direction replaces
+    eight (..., B, B, B)-axis einsum passes of 4×4 matmuls — those are
+    far too narrow to tile the MXU and each round-trips the full
+    (R, K, B³) coefficient tensor through HBM.
+    """
+    mk = _dct_matrix_np(k)
+    mb = _dct_matrix_np(b)
+    return np.kron(np.kron(np.kron(mk, mb), mb), mb)
 
 
-def _group_dct(groups, mat, inverse=False):
-    """1D DCT across the group axis of (..., K, B, B, B)."""
-    m = mat.T if inverse else mat
-    return jnp.einsum("ij,...jabc->...iabc", m, groups)
+@functools.lru_cache(maxsize=None)
+def _col2im_kernel_np(b):
+    """One-hot conv kernel (B, B, B, B³, 1) folding block-rows to voxels.
+
+    out[v] = Σ_δ rows[v − δ, flat(δ)] is a correlation over the B³
+    in-block positions — a single XLA conv (kernel W[dx, c, 0] = 1 iff
+    c == flat((B−1) − dx), zero padding B−1) replaces a fori_loop of
+    B³ serialized dynamic-slice/update passes over the accumulator.
+    """
+    kern = np.zeros((b, b, b, b * b * b, 1), np.float32)
+    for dz in range(b):
+        for dy in range(b):
+            for dx in range(b):
+                flat = (dz * b + dy) * b + dx
+                kern[b - 1 - dz, b - 1 - dy, b - 1 - dx, flat, 0] = 1.0
+    return kern
 
 
 def _strided_box_sum(x, size, stride):
@@ -207,28 +227,28 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
 
     nrows = block_rows(noisy)
     grows = block_rows(guide)
-    ngroups = nrows[sz, sy, sx].reshape(-1, K, B, B, B)
-    ggroups = grows[sz, sy, sx].reshape(-1, K, B, B, B)
+    ngroups = nrows[sz, sy, sx].reshape(-1, K * B * B * B)
+    ggroups = grows[sz, sy, sx].reshape(-1, K * B * B * B)
 
-    mb = _dct_matrix(B)
-    mk = _dct_matrix(K)
-    coef_n = _group_dct(_block_dct3(ngroups, mb), mk)
+    # Whole 4D transform as one (R, K·B³) @ (K·B³, K·B³) GEMM (see
+    # _dct4_matrix_np). Row-vector convention: coef = g @ M4ᵀ,
+    # inverse g = coef @ M4 (orthonormal).
+    m4 = jnp.asarray(_dct4_matrix_np(K, B))
+    coef_n = ngroups @ m4.T
 
     if mode == "hard":
         thr = 2.7 * sigma
         keep = jnp.abs(coef_n) > thr
         coef = jnp.where(keep, coef_n, 0.0)
-        nretained = jnp.sum(keep, axis=(1, 2, 3, 4)).astype(jnp.float32)
+        nretained = jnp.sum(keep, axis=1).astype(jnp.float32)
         wgt = 1.0 / (1.0 + nretained)  # (R,)
     else:
-        coef_g = _group_dct(_block_dct3(ggroups, mb), mk)
+        coef_g = ggroups @ m4.T
         shrink = coef_g**2 / (coef_g**2 + sigma**2 + 1e-12)
         coef = coef_n * shrink
-        wgt = 1.0 / (1e-8 + jnp.sum(shrink**2, axis=(1, 2, 3, 4)))
+        wgt = 1.0 / (1e-8 + jnp.sum(shrink**2, axis=1))
 
-    filt = _block_dct3(
-        _group_dct(coef, mk, inverse=True), mb, inverse=True
-    )  # (R, K, B, B, B)
+    filt = coef @ m4  # (R, K·B³)
 
     # Overlap-add aggregation: scatter weighted block-rows onto the
     # start-indexed row accumulator (row scatter, not scalar scatter).
@@ -281,26 +301,15 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
         jnp.broadcast_to(wgt[:, None], sz.shape)
     )
 
-    # Fold rows back to voxel space: out[v] = Σ_i rows[v − δᵢ][i] via a
-    # fori_loop of dense shifted adds (an unrolled B³-term sum compiles
-    # for minutes on the host-side AOT compiler). The channel-plane
-    # reads go through an explicit transpose of the accumulator.
-    acc_cols = jnp.swapaxes(acc_rows.reshape(-1, nrow), 0, 1)
-    deltas = jnp.asarray([
-        (dz, dy, dx)
-        for dz in range(B) for dy in range(B) for dx in range(B)
-    ], jnp.int32)
-
-    def fold(i, accum):
-        d = deltas[i]
-        plane = acc_cols[i].reshape(rz, ry, rx)
-        cur = jax.lax.dynamic_slice(accum, d, (rz, ry, rx))
-        return jax.lax.dynamic_update_slice(accum, cur + plane, d)
-
-    # Data-derived zero init: a constant init is "unvarying" under
-    # shard_map's manual-axis typing and breaks the loop carry when
-    # this runs per-shard (parallel/bm4d_sharded.py).
-    accum = jax.lax.fori_loop(0, B * B * B, fold, noisy * 0.0)
+    # Fold rows back to voxel space: out[v] = Σ_i rows[v − δᵢ][i] is a
+    # col2im — one conv against a constant one-hot kernel (see
+    # _col2im_kernel_np) instead of B³ serialized shifted-add passes
+    # over the full accumulator.
+    accum = jax.lax.conv_general_dilated(
+        acc_rows[None], jnp.asarray(_col2im_kernel_np(B)),
+        window_strides=(1, 1, 1), padding=[(B - 1, B - 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )[0, ..., 0]  # (Z, Y, X)
     # Weight fold: every row contributes its scalar weight to all B³
     # voxels it covers — a box sum of the full-padded weight field.
     weight = _strided_box_sum(
