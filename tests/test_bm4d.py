@@ -95,3 +95,56 @@ def test_chunked_scatter_matches_single_chunk(phantom):
         bm._SCATTER_CHUNK_BYTES = orig
         bm.bm4d_stage.clear_cache()
     np.testing.assert_allclose(many, one, rtol=1e-6, atol=1e-4)
+
+
+def test_dct4_kron_matches_separable():
+    """The Kronecker 4D-DCT matrix equals the separable per-axis
+    transform (and its transpose inverts it exactly)."""
+    from exaspim_tpu.ops.bm4d import _dct4_matrix_np, _dct_matrix_np
+
+    K, B = 5, 3
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=(7, K, B, B, B)).astype(np.float32)
+    mk, mb = _dct_matrix_np(K), _dct_matrix_np(B)
+    sep = np.einsum("ij,rjabc->riabc", mk, g)
+    sep = np.einsum("ij,rkjbc->rkibc", mb, sep)
+    sep = np.einsum("ij,rkajc->rkaic", mb, sep)
+    sep = np.einsum("ij,rkabj->rkabi", mb, sep)
+    m4 = _dct4_matrix_np(K, B)
+    kron = (g.reshape(7, -1) @ m4.T).reshape(sep.shape)
+    np.testing.assert_allclose(kron, sep, rtol=1e-5, atol=1e-5)
+    # Orthonormal: M4 @ M4.T = I, so coef @ M4 inverts.
+    back = (kron.reshape(7, -1) @ m4).reshape(g.shape)
+    np.testing.assert_allclose(back, g, rtol=1e-4, atol=1e-5)
+
+
+def test_col2im_conv_matches_shifted_add():
+    """The one-hot col2im conv kernel reproduces the naive
+    out[v] = sum_delta rows[v - delta, flat(delta)] fold."""
+    import jax
+    import jax.numpy as jnp
+
+    from exaspim_tpu.ops.bm4d import _col2im_kernel_np
+
+    B = 3
+    rz, ry, rx = 4, 5, 6
+    Z, Y, X = rz + B - 1, ry + B - 1, rx + B - 1
+    rng = np.random.default_rng(1)
+    rows = rng.normal(size=(rz, ry, rx, B * B * B)).astype(np.float32)
+
+    naive = np.zeros((Z, Y, X), np.float32)
+    for dz in range(B):
+        for dy in range(B):
+            for dx in range(B):
+                flat = (dz * B + dy) * B + dx
+                naive[dz:dz + rz, dy:dy + ry, dx:dx + rx] += (
+                    rows[..., flat]
+                )
+
+    conv = jax.lax.conv_general_dilated(
+        jnp.asarray(rows)[None], jnp.asarray(_col2im_kernel_np(B)),
+        window_strides=(1, 1, 1), padding=[(B - 1, B - 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )[0, ..., 0]
+    np.testing.assert_allclose(np.asarray(conv), naive, rtol=1e-5,
+                               atol=1e-5)
