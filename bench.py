@@ -60,7 +60,40 @@ def _baseline():
     return DEFAULT_BASELINE_VOXSEC
 
 
+def _wait_for_backend(max_wait_s):
+    """Block until a trivial jax op succeeds in a SUBPROCESS (bounded).
+
+    A wedged TPU device service makes the first jax op in any process
+    hang or raise Unavailable, sometimes for over an hour (device-
+    service restarts observed on this harness). Probing in a subprocess
+    keeps this process's jax uninitialized so the real run starts
+    clean; on healthy hosts (including CPU-only ones) the first probe
+    returns immediately and costs ~2 s.
+    """
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jnp.sum(jnp.ones((8, 8)))))")
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            p = subprocess.run([sys.executable, "-c", code],
+                               timeout=240, capture_output=True)
+            if p.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print("# backend still unavailable after "
+                  f"{max_wait_s:.0f}s of retries", flush=True)
+            return False
+        print("# backend unavailable; retrying in 60s", flush=True)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_backend(float(os.environ.get("EXASPIM_BENCH_WAIT", 1500)))
     import jax
 
     # Persistent compile cache: the tiled program takes minutes to build
