@@ -194,3 +194,19 @@ def test_visualize_swc_masks_script(tmp_path):
         "--n", "2", "--patch", "16", "16", "16",
     ])
     assert os.path.exists(out)
+
+
+def test_ckpt_quality_script(trained, capsys):
+    import ckpt_quality as quality_script
+
+    ckpt = sorted(
+        glob.glob(os.path.join(trained.ckpt_dir, "*.ckpt"))
+    )[0]
+    quality_script.main([ckpt, "--block", "32"])
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert "cratio_noisy" in lines[0]
+    assert lines[1]["ckpt"] == ckpt
+    assert lines[1]["cratio_gain"] > 0
