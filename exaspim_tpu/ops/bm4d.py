@@ -86,6 +86,22 @@ def _col2im_kernel_np(b):
     return kern
 
 
+@functools.lru_cache(maxsize=None)
+def _col2im_agg_kernel_np(b):
+    """Aggregation fold kernel (B, B, B, B³+1, 2).
+
+    Input channels: B³ value rows + 1 augmented weight channel.
+    Output 0 folds values (the one-hot col2im of _col2im_kernel_np);
+    output 1 folds the weight with every tap set — a row start
+    contributes its weight to all B³ voxels the block covers.
+    """
+    nrow = b * b * b
+    kern = np.zeros((b, b, b, nrow + 1, 2), np.float32)
+    kern[..., :nrow, :1] = _col2im_kernel_np(b)
+    kern[:, :, :, nrow, 1] = 1.0
+    return kern
+
+
 def _strided_box_sum(x, size, stride):
     """Valid-mode box sum over a cube window, separably (3 × 1D),
     subsampled to every ``stride``-th window start per axis.
@@ -262,10 +278,20 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
     # is the only arrangement that reliably survives. Out-of-chunk
     # updates are masked to an out-of-bounds row and dropped.
     w = wgt[:, None, None]
-    filt_rows = filt.reshape(-1, K, B * B * B) * w
+    # Augment each value row with its scalar aggregation weight: the
+    # weight field then rides the SAME chunked row scatter (R·K rows)
+    # instead of a second R·K-scalar scatter, and the weight fold
+    # becomes the second output channel of the col2im conv below.
+    filt_rows = jnp.concatenate(
+        [
+            filt.reshape(-1, K, B * B * B) * w,
+            jnp.broadcast_to(w, (*sz.shape, 1)),
+        ],
+        axis=-1,
+    )
     rows_shape = (Z - B + 1, Y - B + 1, X - B + 1)
     rz, ry, rx = rows_shape
-    nrow = B * B * B
+    nrow = B * B * B + 1
     nchunks = max(
         1,
         int(np.ceil(rz * ry * rx * nrow * 4 / _SCATTER_CHUNK_BYTES)),
@@ -296,25 +322,19 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
     acc_rows = (
         parts[0] if nchunks == 1 else jnp.concatenate(parts, axis=0)
     )
-    wgt_rows = jnp.zeros(rows_shape, jnp.float32)
-    wgt_rows = wgt_rows.at[sz, sy, sx].add(
-        jnp.broadcast_to(wgt[:, None], sz.shape)
-    )
 
-    # Fold rows back to voxel space: out[v] = Σ_i rows[v − δᵢ][i] is a
-    # col2im — one conv against a constant one-hot kernel (see
-    # _col2im_kernel_np) instead of B³ serialized shifted-add passes
-    # over the full accumulator.
-    accum = jax.lax.conv_general_dilated(
-        acc_rows[None], jnp.asarray(_col2im_kernel_np(B)),
+    # Fold rows back to voxel space in one conv: out channel 0 is the
+    # value col2im out[v] = Σ_i rows[v − δᵢ][i]; channel 1 folds the
+    # augmented weight channel with an all-taps kernel (every row
+    # covers all B³ voxels it spans) — see _col2im_agg_kernel_np. One
+    # conv replaces B³ serialized shifted-add passes plus a separate
+    # padded box sum of the weight field.
+    folded = jax.lax.conv_general_dilated(
+        acc_rows[None], jnp.asarray(_col2im_agg_kernel_np(B)),
         window_strides=(1, 1, 1), padding=[(B - 1, B - 1)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )[0, ..., 0]  # (Z, Y, X)
-    # Weight fold: every row contributes its scalar weight to all B³
-    # voxels it covers — a box sum of the full-padded weight field.
-    weight = _strided_box_sum(
-        jnp.pad(wgt_rows, [(B - 1, B - 1)] * 3), B, 1
-    )
+    )[0]  # (Z, Y, X, 2)
+    accum, weight = folded[..., 0], folded[..., 1]
     return (accum / (weight + 1e-12))[:Z0, :Y0, :X0]
 
 
