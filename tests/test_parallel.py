@@ -165,3 +165,14 @@ def test_trainer_with_mesh(tmp_path):
         CachedPatchDataset(train_dir), CachedValidateDataset(val_dir)
     )
     assert state.step == 1
+
+
+def test_initialize_multihost_solo_noop(monkeypatch):
+    """With no coordinator configured, the call is a safe no-op."""
+    from exaspim_tpu.parallel import initialize_multihost, is_primary
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_multihost() is False
+    assert is_primary()
