@@ -55,13 +55,17 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
     except ImportError:  # private API moved; initialize() will raise
         pass             # its own "already initialized" if so
 
+    # Cloud TPU pod: the runtime env lists every worker; a single
+    # entry (or none) means there is no job to join.
+    workers = [
+        w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
+        if w.strip()
+    ]
     has_cfg = (
         coordinator_address is not None
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("COORDINATOR_ADDRESS")
-        # Cloud TPU pod: the TPU runtime env advertises itself.
-        or os.environ.get("TPU_WORKER_HOSTNAMES")
-        or os.environ.get("TPU_SKIP_MDS_QUERY") == "false"
+        or len(workers) > 1
     )
     if not has_cfg and num_processes is None:
         return False  # plain single-process run

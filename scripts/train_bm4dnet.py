@@ -75,8 +75,11 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
     )
     mesh = None
     if data_parallel:
-        from exaspim_tpu.parallel import make_mesh
+        from exaspim_tpu.parallel import initialize_multihost, make_mesh
 
+        # No-op single-process; on a pod it joins the job first so
+        # make_mesh sees the global device list.
+        initialize_multihost()
         mesh = make_mesh(axis="data")
     trainer = Trainer(
         output_dir, model, transform, lr=lr, epochs=epochs,

@@ -175,4 +175,8 @@ def test_initialize_multihost_solo_noop(monkeypatch):
                 "TPU_WORKER_HOSTNAMES"):
         monkeypatch.delenv(var, raising=False)
     assert initialize_multihost() is False
+    # A single-entry worker list (the 1-chip harness sets
+    # TPU_WORKER_HOSTNAMES=localhost) is still a solo run.
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert initialize_multihost() is False
     assert is_primary()
