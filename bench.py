@@ -93,7 +93,19 @@ def _wait_for_backend(max_wait_s):
 
 
 def main():
-    _wait_for_backend(float(os.environ.get("EXASPIM_BENCH_WAIT", 1500)))
+    if not _wait_for_backend(
+        float(os.environ.get("EXASPIM_BENCH_WAIT", 2400))
+    ):
+        # Emit a parseable artifact documenting the outage instead of
+        # a traceback from the first jax op.
+        print(json.dumps({
+            "metric": "bm4dnet_tiled_inference_256c_uint16",
+            "value": 0.0,
+            "unit": "voxels/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "device backend unavailable after bounded wait",
+        }))
+        raise SystemExit(1)
     import jax
 
     # Persistent compile cache: the tiled program takes minutes to build
