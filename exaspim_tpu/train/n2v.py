@@ -57,28 +57,59 @@ def _substitute(x, mask, shifts):
 
 
 def make_n2v_train_step(transform=None, mask_rate=0.005, max_shift=2,
-                        eps=1e-3, donate=False):
+                        eps=1e-3, donate=False,
+                        sigma_gain=None, sigma_read=0.0):
     """Jitted N2V step ``(state, x, key) -> (state, loss)``.
 
     ``x``: noisy batches — raw counts (with ``transform``) or
     transform-domain floats, shaped (B, D, H, W, 1). Derive ``key`` per
     step with ``jax.random.fold_in(base_key, step)`` for deterministic
     resumable masking.
+
+    ``sigma_gain`` switches on the **σ-aware count-space loss**: masked
+    residuals are scored in raw counts (``transform.inverse_float`` of
+    the prediction vs the observed counts) and normalized by the local
+    Poisson–Gaussian noise scale ``σ(c) = sqrt(gain·c + read² + 1)``.
+    Plain transform-domain N2V underweights rare bright voxels exactly
+    where a compressive transform (asinh) shrinks them, so blind-spot
+    nets undershoot peaks and the error explodes through the inverse
+    map; whitening by σ makes every voxel's residual unit-variance, so
+    bright foreground is trained at the same statistical weight as
+    background instead of ~1/f'(c) below it. Requires ``transform``
+    (the step must see raw counts to compute σ).
     """
+    if sigma_gain is not None and transform is None:
+        raise ValueError(
+            "sigma_gain requires a transform: the sigma-aware loss is "
+            "computed in count space, so the step must receive raw "
+            "counts (not transform-domain floats)."
+        )
 
     def step(state, x, key):
+        counts = x.astype(jnp.float32)
         if transform is not None:
-            x = transform.forward(x.astype(jnp.float32))
+            x = transform.forward(counts)
         x3 = x[..., 0]
         mask, shifts = make_blind_spots(
             key, x3.shape, mask_rate=mask_rate, max_shift=max_shift
         )
         x_in = _substitute(x3, mask, shifts)[..., None]
+        m = mask.astype(jnp.float32)
+
+        if sigma_gain is not None:
+            c3 = counts[..., 0]
+            sigma = jnp.sqrt(
+                sigma_gain * jnp.maximum(c3, 0.0)
+                + sigma_read * sigma_read + 1.0
+            )
 
         def loss_fn(params):
             pred = state.apply_fn({"params": params}, x_in)[..., 0]
-            err = charbonnier(pred - x3, eps=eps)
-            m = mask.astype(jnp.float32)
+            if sigma_gain is not None:
+                pred_c = transform.inverse_float(pred)
+                err = charbonnier((pred_c - c3) / sigma, eps=eps)
+            else:
+                err = charbonnier(pred - x3, eps=eps)
             return jnp.sum(err * m) / jnp.maximum(jnp.sum(m), 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -31,6 +31,11 @@ def main(argv=None):
     p.add_argument("--width", type=float, default=0.5)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--mask-rate", type=float, default=0.005)
+    p.add_argument("--sigma-gain", type=float, default=None,
+                   help="enable the sigma-aware count-space loss with "
+                        "this Poisson gain (try 1.0); see train/n2v.py")
+    p.add_argument("--sigma-read", type=float, default=0.0,
+                   help="read-noise std (counts) for the sigma model")
     p.add_argument("--model", default="N2V2UNet",
                    choices=["N2V2UNet", "UNet"])
     p.add_argument("--seed", type=int, default=0)
@@ -83,7 +88,8 @@ def main(argv=None):
         total_steps=args.steps, seed=args.seed,
     )
     step_fn = make_n2v_train_step(
-        transform=t, mask_rate=args.mask_rate, donate=True
+        transform=t, mask_rate=args.mask_rate, donate=True,
+        sigma_gain=args.sigma_gain, sigma_read=args.sigma_read,
     )
     base_key = jax.random.key(args.seed)
 
@@ -117,6 +123,7 @@ def main(argv=None):
     drange = float(clean.max())
     summary = {
         "model": args.model,
+        "sigma_gain": args.sigma_gain,
         "steps": args.steps,
         "width": args.width,
         "checkpoint": ckpt,

@@ -102,3 +102,75 @@ def test_n2v_training_loop_reduces_loss():
         losses.append(float(loss))
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
     assert np.isfinite(losses).all()
+
+
+def test_sigma_aware_requires_transform():
+    import pytest
+
+    with pytest.raises(ValueError, match="sigma_gain requires"):
+        make_n2v_train_step(transform=None, sigma_gain=1.0)
+
+
+def test_sigma_aware_loss_is_whitened():
+    """The sigma-aware loss is scale-invariant under Poisson scaling.
+
+    Scaling counts by s scales both the count-space residual and the
+    modeled sigma by ~sqrt(s) (variance = gain*c), so a batch that is s x
+    brighter with matched noise must score ~the same loss — unlike the
+    transform-domain loss, which underweights bright voxels by 1/f'(c).
+    """
+    t = build_transform(TCFG)
+    model = N2V2UNet(width_multiplier=0.25, head_init="normal",
+                     residual=False)
+    state = create_train_state(
+        model, patch_shape=(16, 16, 16), lr=1e-3, total_steps=10
+    )
+    step = make_n2v_train_step(
+        transform=t, mask_rate=0.05, donate=False, sigma_gain=1.0
+    )
+    rng = np.random.default_rng(7)
+    base_counts = rng.uniform(50.0, 120.0, (4, 16, 16, 16, 1))
+    losses = {}
+    for scale in (1.0, 16.0):
+        mean = base_counts * scale
+        noisy = rng.normal(mean, np.sqrt(mean)).clip(0, 65535)
+        x = jnp.asarray(noisy.astype(np.uint16))
+        _, loss = step(state, x, jax.random.key(11))
+        losses[scale] = float(loss)
+    assert np.isfinite(list(losses.values())).all()
+    # Whitened: bright batch scores within 2.5x of the dim batch. The
+    # raw count-space residuals differ by ~4x (sqrt(16)); whitening
+    # must absorb that scale.
+    ratio = losses[16.0] / losses[1.0]
+    assert 0.4 < ratio < 2.5, ratio
+
+
+def test_sigma_aware_gradients_flow():
+    t = build_transform(TCFG)
+    model = N2V2UNet(width_multiplier=0.25, head_init="normal",
+                     residual=False)
+    state = create_train_state(
+        model, patch_shape=(16, 16, 16), lr=5e-3, total_steps=20
+    )
+    step = make_n2v_train_step(
+        transform=t, mask_rate=0.05, donate=False,
+        sigma_gain=1.0, sigma_read=3.0,
+    )
+    rng = np.random.default_rng(3)
+    base = jax.random.key(5)
+    losses = []
+    s = state
+    for i in range(20):
+        x = jnp.asarray(
+            (500 + rng.normal(0, 22, (4, 16, 16, 16, 1)))
+            .clip(0, 65535).astype(np.uint16)
+        )
+        s, loss = step(s, x, jax.random.fold_in(base, i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    leaves0 = jax.tree.leaves(state.params)
+    leaves1 = jax.tree.leaves(s.params)
+    moved = any(
+        float(jnp.max(jnp.abs(a - b))) > 0 for a, b in zip(leaves0, leaves1)
+    )
+    assert moved
