@@ -25,6 +25,7 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "make_cached_train_step",
     "make_eval_step",
     "cosine_schedule",
 ]
@@ -77,6 +78,48 @@ def make_train_step(fg_weight=20.0, eps=1e-3, donate=True,
         if transform is not None:
             x = transform.forward(x.astype(jnp.float32))
             y = transform.forward(y.astype(jnp.float32))
+
+        def loss_fn(params):
+            pred = state.apply_fn({"params": params}, x)
+            return signal_preserving_loss(
+                pred, y, fg, fg_weight=fg_weight, eps=eps
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_cached_train_step(fg_weight=20.0, eps=1e-3, donate=True,
+                           transform=None, preserve_foreground=False):
+    """Jitted step over an HBM-resident cache:
+    ``(state, raw_all, teacher_all, fg_all, idx) -> (state, loss)``.
+
+    ``raw_all``/``teacher_all``/``fg_all`` are the FULL cache arrays
+    living in device memory (uint16/uint16/bool, shaped (N, D, H, W));
+    ``idx`` is the (B,) int32 batch slice of the epoch permutation. The
+    batch gather, the ``where(fg, raw, teacher)`` foreground-preserving
+    target rule (reference data_handling.py:48-86), and the intensity
+    transform all run inside the one XLA program — the host ships 4·B
+    bytes of indices per step instead of ~5·B·D·H·W bytes of voxels, so
+    a slow host↔device link stops bounding the training loop (see
+    ``Trainer(device_cache=...)``).
+    """
+
+    def step(state, raw_all, teacher_all, fg_all, idx):
+        raw = jnp.take(raw_all, idx, axis=0)
+        teacher = jnp.take(teacher_all, idx, axis=0)
+        fg = jnp.take(fg_all, idx, axis=0).astype(bool)[..., None]
+        if preserve_foreground:
+            target = jnp.where(fg[..., 0], raw, teacher)
+        else:
+            target = teacher
+        x = raw[..., None].astype(jnp.float32)
+        y = target[..., None].astype(jnp.float32)
+        if transform is not None:
+            x = transform.forward(x)
+            y = transform.forward(y)
 
         def loss_fn(params):
             pred = state.apply_fn({"params": params}, x)

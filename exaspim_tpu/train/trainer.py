@@ -67,7 +67,8 @@ class Trainer:
                  fg_weight=0.0, preserve_foreground=False, val_every=1000,
                  checkpoint_weights=None, clevel=6, seed=42,
                  warmup_steps=0, max_val_examples=None, keep_mips=10,
-                 tensorboard=True, mesh=None):
+                 tensorboard=True, mesh=None, device_cache="auto",
+                 device_cache_budget=8 << 30):
         self.model = model
         self.transform = transform
         self.lr = lr
@@ -89,6 +90,18 @@ class Trainer:
         #: sharded across the mesh, params replicated, gradient psum
         #: inserted by XLA).
         self.mesh = mesh
+        #: HBM-resident cache mode: upload the whole (raw, teacher, fg)
+        #: cache to device once and gather batches inside the jitted
+        #: step — the host then ships only (B,) index vectors, so a slow
+        #: host↔device link (this environment's tunnel moves a 32×64³
+        #: uint16 batch in ~0.7 s) stops bounding the loop. ``"auto"``
+        #: engages when the dataset exposes its cache arrays, fits
+        #: ``device_cache_budget`` bytes, divides evenly into batches
+        #: (identical step stream to the loader path), and no mesh is
+        #: set. ``True`` forces it (dropping a trailing partial batch);
+        #: ``False`` always streams through the DataLoader.
+        self.device_cache = device_cache
+        self.device_cache_budget = int(device_cache_budget)
 
         stamp = datetime.now().strftime("%Y%m%d_%H%M")
         self.output_dir = os.fspath(output_dir)
@@ -172,6 +185,60 @@ class Trainer:
             json.dump(cfg, f, indent=2, sort_keys=True, default=str)
         return path
 
+    # ------------------------------------------------- device-cache mode
+
+    def _cache_nbytes(self, ds):
+        return sum(
+            a.nbytes for field in ("_raw", "_teacher", "_fg")
+            for a in getattr(ds, field)
+        )
+
+    def _resolve_device_cache(self, train_ds):
+        """Decide whether this run trains from an HBM-resident cache."""
+        if not self.device_cache or self.mesh is not None:
+            return False
+        if not all(hasattr(train_ds, f)
+                   for f in ("_raw", "_teacher", "_fg")):
+            return False  # live/streaming dataset: no arrays to upload
+        n = len(train_ds)
+        if n < self.batch_size:
+            return False
+        fits = self._cache_nbytes(train_ds) <= self.device_cache_budget
+        if self.device_cache == "auto":
+            # Engage only when the step stream is identical to the
+            # loader path (no trailing partial batch to drop).
+            return fits and n % self.batch_size == 0
+        if not fits:
+            raise ValueError(
+                f"device_cache=True but the cache "
+                f"({self._cache_nbytes(train_ds)} B) exceeds "
+                f"device_cache_budget ({self.device_cache_budget} B)"
+            )
+        return True
+
+    def _upload_cache(self, ds):
+        """Ship the full (raw, teacher, fg) cache to device HBM once."""
+        import jax.numpy as jnp
+
+        t0 = time.time()
+
+        def up(parts):
+            arrs = [jax.device_put(np.ascontiguousarray(p))
+                    for p in parts]
+            return (arrs[0] if len(arrs) == 1
+                    else jnp.concatenate(arrs, axis=0))
+
+        out = tuple(
+            up(getattr(ds, f)) for f in ("_raw", "_teacher", "_fg")
+        )
+        jax.block_until_ready(out)
+        self._log({
+            "event": "device_cache_upload",
+            "bytes": self._cache_nbytes(ds),
+            "wall_s": round(time.time() - t0, 1),
+        })
+        return out
+
     # -------------------------------------------------------------- run
 
     def run(self, train_ds, val_ds, resume_state=None):
@@ -194,7 +261,11 @@ class Trainer:
         val_loader = DataLoader(
             val_ds, self.batch_size, make_count_val_collate()
         )
-        steps_per_epoch = len(train_loader)
+        use_dev_cache = self._resolve_device_cache(train_ds)
+        if use_dev_cache:
+            steps_per_epoch = len(train_ds) // self.batch_size
+        else:
+            steps_per_epoch = len(train_loader)
         total_steps = max(1, self.epochs * steps_per_epoch)
         patch = tuple(train_ds.patch_shape)
 
@@ -225,6 +296,13 @@ class Trainer:
                 self.mesh, fg_weight=self.fg_weight,
                 transform=self.transform,
             )
+        elif use_dev_cache:
+            from exaspim_tpu.train.state import make_cached_train_step
+
+            train_step = make_cached_train_step(
+                self.fg_weight, transform=self.transform,
+                preserve_foreground=self.preserve_foreground,
+            )
         else:
             train_step = make_train_step(
                 self.fg_weight, transform=self.transform
@@ -235,6 +313,7 @@ class Trainer:
         self.save_config({
             "total_steps": total_steps,
             "steps_per_epoch": steps_per_epoch,
+            "device_cache": bool(use_dev_cache),
         })
 
         from exaspim_tpu.utils.profiling import StepTimer
@@ -245,29 +324,50 @@ class Trainer:
             voxels_per_step=self.batch_size * int(np.prod(patch))
         )
         start_epoch = start_step // max(steps_per_epoch, 1)
-        for epoch in range(start_epoch, self.epochs):
-            train_loader.set_epoch(epoch)
-            for x, y, fg in prefetch_to_device(train_loader):
-                state, loss = train_step(state, x, y, fg)
-                step += 1
-                stats = timer.step() or {}
-                if step % 50 == 0 or step == total_steps:
-                    self._scalar("train_loss", float(loss), step)
-                    if "voxels_per_sec" in stats:
-                        self._scalar(
-                            "voxels_per_sec", stats["voxels_per_sec"],
-                            step,
-                        )
-                    self._log({
-                        "event": "train", "step": step, "epoch": epoch,
-                        "loss": float(loss),
-                        "wall_s": round(time.time() - t0, 1),
-                        **stats,
-                    })
-                if step % self.val_every == 0:
-                    self.validate_and_checkpoint(
-                        state, eval_step, val_loader, step
+
+        def bookkeep(state, loss, epoch):
+            nonlocal step
+            step += 1
+            stats = timer.step() or {}
+            if step % 50 == 0 or step == total_steps:
+                self._scalar("train_loss", float(loss), step)
+                if "voxels_per_sec" in stats:
+                    self._scalar(
+                        "voxels_per_sec", stats["voxels_per_sec"], step
                     )
+                self._log({
+                    "event": "train", "step": step, "epoch": epoch,
+                    "loss": float(loss),
+                    "wall_s": round(time.time() - t0, 1),
+                    **stats,
+                })
+            if step % self.val_every == 0:
+                self.validate_and_checkpoint(
+                    state, eval_step, val_loader, step
+                )
+
+        if use_dev_cache:
+            import jax.numpy as jnp
+
+            raw_dev, teacher_dev, fg_dev = self._upload_cache(train_ds)
+            n_batches = steps_per_epoch * self.batch_size
+            for epoch in range(start_epoch, self.epochs):
+                # Identical permutation stream to DataLoader._order.
+                order = np.random.default_rng(
+                    np.random.SeedSequence([self.seed, epoch])
+                ).permutation(len(train_ds))[:n_batches].astype(np.int32)
+                for lo in range(0, n_batches, self.batch_size):
+                    idx = jnp.asarray(order[lo:lo + self.batch_size])
+                    state, loss = train_step(
+                        state, raw_dev, teacher_dev, fg_dev, idx
+                    )
+                    bookkeep(state, loss, epoch)
+        else:
+            for epoch in range(start_epoch, self.epochs):
+                train_loader.set_epoch(epoch)
+                for x, y, fg in prefetch_to_device(train_loader):
+                    state, loss = train_step(state, x, y, fg)
+                    bookkeep(state, loss, epoch)
         if step % self.val_every != 0:
             self.validate_and_checkpoint(
                 state, eval_step, val_loader, step

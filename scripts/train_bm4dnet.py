@@ -44,7 +44,8 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
           lr=1e-3, fg_weight=0.0, preserve_foreground=False,
           val_every=1000, seed=42, width_multiplier=1.0, model_cfg=None,
           resume=None, bf16=True, checkpoint_weights=None,
-          max_val_examples=None, data_parallel=False):
+          max_val_examples=None, data_parallel=False,
+          device_cache="auto"):
     """Run cache-only training; returns the Trainer."""
     transform_cfg = load_cache_transform(
         list(train_cache) + list(val_cache)
@@ -87,6 +88,7 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
         preserve_foreground=preserve_foreground, val_every=val_every,
         checkpoint_weights=checkpoint_weights or CHECKPOINT_WEIGHTS,
         seed=seed, max_val_examples=max_val_examples, mesh=mesh,
+        device_cache=device_cache,
     )
     trainer.save_config({
         "train_cache": list(train_cache),
@@ -120,6 +122,11 @@ def main(argv=None):
     p.add_argument("--max-val-examples", type=int)
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch across all local devices")
+    p.add_argument("--device-cache", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="train from an HBM-resident cache (gather "
+                        "batches on device; the host ships only batch "
+                        "indices — see Trainer.device_cache)")
     args = p.parse_args(argv)
     if args.config_json:
         from exaspim_tpu.config import TrainConfig
@@ -145,6 +152,9 @@ def main(argv=None):
         width_multiplier=args.width_multiplier, resume=args.resume,
         bf16=not args.no_bf16, max_val_examples=args.max_val_examples,
         data_parallel=args.data_parallel,
+        device_cache={"auto": "auto", "on": True, "off": False}[
+            args.device_cache
+        ],
     )
 
 

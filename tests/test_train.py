@@ -208,3 +208,62 @@ def test_full_state_resume(tmp_path, tiny_caches):
     )
     with pytest.raises(ValueError, match="transform"):
         bad.run(train_ds, val_ds, resume_state=latest)
+
+
+def test_device_cache_matches_loader_path(tmp_path, tiny_caches):
+    """HBM-resident training must reproduce the loader path: same
+    permutation stream, same target rule, same transform placement."""
+    import jax
+
+    train_dir, val_dir = tiny_caches
+    t = build_transform(TCFG)
+    params = {}
+    for mode in (False, True):
+        trainer = Trainer(
+            os.path.join(tmp_path, f"dc_{mode}"), UNet(**SMALL), t,
+            lr=1e-3, epochs=2, batch_size=4, val_every=100, seed=7,
+            tensorboard=False, keep_mips=0, device_cache=mode,
+        )
+        state = trainer.run(
+            CachedPatchDataset(train_dir), CachedValidateDataset(val_dir)
+        )
+        params[mode] = jax.tree.map(np.asarray, state.params)
+        import json
+
+        cfg = json.load(
+            open(os.path.join(trainer.session_dir, "config.json"))
+        )
+        assert cfg["device_cache"] is bool(mode)
+    flat0 = jax.tree.leaves(params[False])
+    flat1 = jax.tree.leaves(params[True])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
+def test_device_cache_auto_gating(tmp_path, tiny_caches):
+    """auto falls back to the loader when batches don't divide the
+    cache (partial-batch parity) or the budget is exceeded; True with
+    an undersized budget raises."""
+    train_dir, val_dir = tiny_caches
+    t = build_transform(TCFG)
+    train_ds = CachedPatchDataset(train_dir)
+
+    tr = Trainer(os.path.join(tmp_path, "a"), UNet(**SMALL), t,
+                 epochs=1, batch_size=3, tensorboard=False)
+    assert tr._resolve_device_cache(train_ds) is False  # 8 % 3 != 0
+
+    tr = Trainer(os.path.join(tmp_path, "b"), UNet(**SMALL), t,
+                 epochs=1, batch_size=4, tensorboard=False,
+                 device_cache_budget=1024)
+    assert tr._resolve_device_cache(train_ds) is False  # over budget
+
+    tr = Trainer(os.path.join(tmp_path, "c"), UNet(**SMALL), t,
+                 epochs=1, batch_size=4, tensorboard=False,
+                 device_cache=True, device_cache_budget=1024)
+    with pytest.raises(ValueError, match="exceeds"):
+        tr._resolve_device_cache(train_ds)
+
+    tr = Trainer(os.path.join(tmp_path, "d"), UNet(**SMALL), t,
+                 epochs=1, batch_size=4, tensorboard=False,
+                 device_cache=False)
+    assert tr._resolve_device_cache(train_ds) is False
