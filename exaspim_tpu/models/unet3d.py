@@ -180,12 +180,20 @@ class Conv(nn.Module):
                 )
             return Blocked(y, h, w)
         if blocked_in:
+            from exaspim_tpu.ops.nb_conv import zero_row_halos
+
             segs = x if isinstance(x, (tuple, list)) else (x,)
             yb = nb_conv3d(
                 tuple(s.data.astype(self.dtype) for s in segs),
                 k, h, w, cin_splits,
                 jax.default_backend() != "tpu",
             )
+            if bias is not None:
+                # Lanes hold 4 phase-interleaved channel copies; re-zero
+                # the resident halo rows the broadcast add just filled.
+                yb = zero_row_halos(
+                    yb + jnp.tile(bias, 4).astype(self.dtype), w // 2
+                )
             return Blocked(yb, h, w)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), k, (1, 1, 1), "SAME",
@@ -289,6 +297,11 @@ class DoubleConv(nn.Module):
     mid_channels: int | None = None
     dtype: jnp.dtype = jnp.float32
     blocked: str = "auto"
+    #: True only for checkpoints imported from the reference torch
+    #: format, whose convs carry a pre-GroupNorm bias (a per-channel
+    #: shift GN cannot absorb exactly across a group). Native training
+    #: stays bias-free (the bias is near-redundant and costs a fusion).
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -303,7 +316,8 @@ class DoubleConv(nn.Module):
                 x = Blocked.block(x.astype(self.dtype))
             elif not ok and is_b:
                 x = _ensure_array(x)
-            x = Conv(channels, dtype=self.dtype)(x)
+            x = Conv(channels, dtype=self.dtype,
+                     use_bias=self.use_bias)(x)
             x = GroupNorm(
                 num_groups=_norm_groups(channels), dtype=self.dtype,
                 epsilon=1e-5,
@@ -465,6 +479,7 @@ class Up(nn.Module):
     dtype: jnp.dtype = jnp.float32
     align_corners: bool = False
     blocked: str = "auto"
+    conv_bias: bool = False
 
     @nn.compact
     def __call__(self, x, skip_x=None):
@@ -525,7 +540,7 @@ class Up(nn.Module):
         mid = cat_channels // 2 if self.trilinear else None
         return DoubleConv(
             self.out_channels, mid_channels=mid, dtype=self.dtype,
-            blocked=self.blocked,
+            blocked=self.blocked, use_bias=self.conv_bias,
         )(x)
 
 
@@ -557,6 +572,11 @@ class UNet(nn.Module):
     #: ``target − substituted_center`` and misfires on unmasked inputs
     #: at inference (measured: PSNR collapses 54 → 25 dB).
     residual: bool = True
+    #: True for checkpoints imported from the reference torch format
+    #: (``import_torch_checkpoint``): the reference's DoubleConv convs
+    #: carry a pre-GroupNorm bias (reference unet3d.py:149-208) that GN
+    #: cannot absorb exactly. Natively trained models keep this False.
+    conv_bias: bool = False
     #: Conv dispatch (execution detail, NOT part of ``config``):
     #: "auto" uses the MXU-blocked Pallas conv on TPU where it wins,
     #: "never" forces plain XLA convs, "force" runs the blocked kernel
@@ -591,6 +611,7 @@ class UNet(nn.Module):
             "head_init": self.head_init,
             "align_corners": self.align_corners,
             "residual": self.residual,
+            "conv_bias": self.conv_bias,
         }
 
     @nn.compact
@@ -607,15 +628,18 @@ class UNet(nn.Module):
             return (max_pool3d_blocked(s) if isinstance(s, Blocked)
                     else max_pool3d(s))
 
-        s1 = DoubleConv(c1, dtype=dt, blocked=bk)(x)
-        s2 = DoubleConv(c2, dtype=dt, blocked=bk)(pool(s1))
-        s3 = DoubleConv(c3, dtype=dt, blocked=bk)(pool(s2))
-        s4 = DoubleConv(c4, dtype=dt, blocked=bk)(pool(s3))
-        x = DoubleConv(c5 // factor, dtype=dt, blocked=bk)(pool(s4))
+        cb = self.conv_bias
+        s1 = DoubleConv(c1, dtype=dt, blocked=bk, use_bias=cb)(x)
+        s2 = DoubleConv(c2, dtype=dt, blocked=bk, use_bias=cb)(pool(s1))
+        s3 = DoubleConv(c3, dtype=dt, blocked=bk, use_bias=cb)(pool(s2))
+        s4 = DoubleConv(c4, dtype=dt, blocked=bk, use_bias=cb)(pool(s3))
+        x = DoubleConv(
+            c5 // factor, dtype=dt, blocked=bk, use_bias=cb
+        )(pool(s4))
         ac = self.align_corners
         up = functools.partial(
             Up, trilinear=self.trilinear, dtype=dt, align_corners=ac,
-            blocked=bk,
+            blocked=bk, conv_bias=cb,
         )
         x = up(c4 // factor)(x, s4)
         x = up(c3 // factor)(x, s3)
@@ -663,15 +687,18 @@ class N2V2UNet(UNet):
         # stage mid-encoder costs more in relayouts than the blocked
         # convs save (see Conv/_nb_ok notes).
         enc = "never" if bk == "auto" else bk
-        s1 = DoubleConv(c1, dtype=dt, blocked=enc)(x)
-        s2 = DoubleConv(c2, dtype=dt, blocked=enc)(pool(s1))
-        s3 = DoubleConv(c3, dtype=dt, blocked=enc)(pool(s2))
-        s4 = DoubleConv(c4, dtype=dt, blocked=enc)(pool(s3))
-        x = DoubleConv(c5 // factor, dtype=dt, blocked=enc)(pool(s4))
+        cb = self.conv_bias
+        s1 = DoubleConv(c1, dtype=dt, blocked=enc, use_bias=cb)(x)
+        s2 = DoubleConv(c2, dtype=dt, blocked=enc, use_bias=cb)(pool(s1))
+        s3 = DoubleConv(c3, dtype=dt, blocked=enc, use_bias=cb)(pool(s2))
+        s4 = DoubleConv(c4, dtype=dt, blocked=enc, use_bias=cb)(pool(s3))
+        x = DoubleConv(
+            c5 // factor, dtype=dt, blocked=enc, use_bias=cb
+        )(pool(s4))
         ac = self.align_corners
         up = functools.partial(
             Up, trilinear=self.trilinear, dtype=dt, align_corners=ac,
-            blocked=bk,
+            blocked=bk, conv_bias=cb,
         )
         x = up(c4 // factor)(x, s4)
         x = up(c3 // factor)(x, s3)

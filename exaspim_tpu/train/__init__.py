@@ -3,6 +3,7 @@
 from exaspim_tpu.train.checkpoint import (
     checkpoint_filename,
     find_best_checkpoint,
+    import_torch_checkpoint,
     load_checkpoint,
     restore_pipeline,
     restore_train_state,
@@ -26,6 +27,7 @@ __all__ = [
     "cosine_schedule",
     "create_train_state",
     "find_best_checkpoint",
+    "import_torch_checkpoint",
     "load_checkpoint",
     "make_blind_spots",
     "make_n2v_train_step",

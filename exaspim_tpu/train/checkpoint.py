@@ -27,6 +27,7 @@ __all__ = [
     "restore_pipeline",
     "save_train_state",
     "restore_train_state",
+    "import_torch_checkpoint",
 ]
 
 _SCORE_RE = re.compile(
@@ -154,3 +155,189 @@ def restore_train_state(path, state_template):
     meta = json.loads(payload["meta"])
     state = _ser.from_state_dict(state_template, payload["state"])
     return state, meta
+
+
+# --------------------------------------------------- torch-format import
+
+def _port_torch_double_conv(sd, prefix):
+    """Port one reference DoubleConv (reference unet3d.py:137-208):
+    Sequential(Conv3d, GroupNorm, LeakyReLU, Conv3d, GroupNorm, LeakyReLU)
+    → the Flax DoubleConv param subtree. Conv biases are kept (they feed
+    GroupNorm, which cannot absorb a per-channel shift across a group —
+    the imported model must be built with ``conv_bias=True``)."""
+    out = {}
+    for i, (ci, gi) in enumerate(((0, 1), (3, 4))):
+        out[f"Conv_{i}"] = {
+            # torch (out,in,kd,kh,kw) → flax (kd,kh,kw,in,out)
+            "kernel": sd[f"{prefix}.{ci}.weight"].transpose(2, 3, 4, 1, 0),
+            "bias": sd[f"{prefix}.{ci}.bias"],
+        }
+        out[f"GroupNorm_{i}"] = {
+            "scale": sd[f"{prefix}.{gi}.weight"],
+            "bias": sd[f"{prefix}.{gi}.bias"],
+        }
+    return out
+
+
+def _port_torch_state_dict(sd, trilinear):
+    """Reference torch UNet/N2V2UNet state_dict → Flax param tree.
+
+    Key layout per reference unet3d.py:20-131 (UNet) and :392-477
+    (N2V2UNet — identical keys for the ported params; the MaxBlurPool
+    blur kernels are derived constants here, not parameters)."""
+    p = {"DoubleConv_0": _port_torch_double_conv(sd, "inc.double_conv")}
+    for i in range(1, 5):
+        p[f"DoubleConv_{i}"] = _port_torch_double_conv(
+            sd, f"down{i}.maxpool_conv.1.double_conv"
+        )
+    for i in range(1, 5):
+        sub = {
+            "DoubleConv_0": _port_torch_double_conv(
+                sd, f"up{i}.conv.double_conv"
+            )
+        }
+        if not trilinear:
+            w = sd[f"up{i}.up.weight"]  # (in, out, 2, 2, 2)
+            # flax ConvTranspose correlates on the dilated input, which
+            # spatially flips the kernel relative to torch's scatter.
+            sub["ConvTranspose_0"] = {
+                "kernel": np.ascontiguousarray(
+                    w.transpose(2, 3, 4, 0, 1)[::-1, ::-1, ::-1]
+                ),
+                "bias": sd[f"up{i}.up.bias"],
+            }
+        p[f"Up_{i - 1}"] = sub
+    p["Conv_0"] = {
+        "kernel": sd["outc.conv.weight"].transpose(2, 3, 4, 1, 0),
+        "bias": sd["outc.conv.bias"],
+    }
+    return p
+
+
+def import_torch_checkpoint(path, out_path=None, *, dtype=None):
+    """Convert a reference torch checkpoint (.pt/.pth) to this package.
+
+    Accepts both reference formats (reference inference.py:255-299):
+    the current ckpt dict ``{"model": state_dict, "transform": cfg,
+    "model_config": cfg}`` and a legacy bare state_dict (transform
+    defaults to asinh). Model family (UNet vs N2V2UNet), upsampling
+    mode, and width are taken from ``model_config`` when present and
+    inferred from the state_dict keys/shapes otherwise — inference the
+    reference's own loader does not attempt.
+
+    The port is mathematically exact: conv biases import via the
+    ``conv_bias=True`` model option and the upsample grid convention is
+    pinned to ``align_corners=True`` (the reference's
+    ``torch.nn.Upsample`` mode, reference unet3d.py:291-296).
+
+    Returns ``(model, params, transform)`` ready for
+    :func:`exaspim_tpu.inference.predict`; when ``out_path`` is given
+    the converted checkpoint is also written in the native msgpack
+    format (round-trips through :func:`restore_pipeline`).
+    """
+    import jax.numpy as jnp
+
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "import_torch_checkpoint needs the torch package (CPU build "
+            "is enough) to deserialize the reference checkpoint"
+        ) from e
+
+    from exaspim_tpu.models import build_model
+    from exaspim_tpu.transforms import build_transform
+
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Older torch versions / pickled configs: fall back. The file
+        # is user-supplied training output, same trust level as any
+        # checkpoint the reference itself loads.
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        state_dict = ckpt["model"]
+        transform_cfg = ckpt.get("transform") or {"kind": "asinh"}
+        model_cfg = dict(ckpt.get("model_config") or {})
+    else:  # legacy bare state_dict
+        state_dict = ckpt
+        transform_cfg = {"kind": "asinh"}
+        model_cfg = {}
+
+    sd = {
+        k: v.detach().cpu().numpy()
+        for k, v in state_dict.items()
+        if hasattr(v, "detach")
+    }
+
+    model_type = model_cfg.pop("model", None)
+    if model_type is None:
+        # DownBlur's MaxBlurPool registers a persistent blur-kernel
+        # buffer (reference unet3d.py:513-518) — its presence marks the
+        # N2V2 variant even in legacy bare state_dicts.
+        is_n2v2 = any(
+            k.startswith("down1.maxpool_conv.0.") for k in state_dict
+        )
+        model_type = "N2V2UNet" if is_n2v2 else "UNet"
+    trilinear = bool(
+        model_cfg.pop("trilinear", "up1.up.weight" not in sd)
+    )
+    c1 = int(sd["inc.double_conv.0.weight"].shape[0])
+    width = float(model_cfg.pop("width_multiplier", c1 / 32.0))
+    if int(32 * width) != c1:
+        raise ValueError(
+            f"checkpoint width_multiplier={width} disagrees with the "
+            f"state_dict ({c1} first-stage channels)"
+        )
+    residual = bool(model_cfg.pop("residual", True))
+    if model_cfg:
+        raise ValueError(
+            f"unrecognized reference model_config keys: "
+            f"{sorted(model_cfg)}"
+        )
+
+    config = {
+        "model": model_type,
+        "width_multiplier": width,
+        "trilinear": trilinear,
+        "residual": residual,
+        "align_corners": True,
+        "conv_bias": True,
+    }
+    model = build_model(config, dtype=dtype or jnp.float32)
+    params = jax.tree.map(
+        lambda a: np.asarray(a, dtype=np.float32),
+        _port_torch_state_dict(sd, trilinear),
+    )
+
+    # Structure check against the model's own init tree: catches any
+    # drift between the reference key layout and this port.
+    ref_tree = jax.eval_shape(
+        lambda: model.init(
+            jax.random.key(0), jnp.zeros((1, 32, 32, 32, 1))
+        )
+    )["params"]
+    flat = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    for k, ref_leaf in jax.tree_util.tree_flatten_with_path(ref_tree)[0]:
+        got = flat.pop(k, None)
+        name = jax.tree_util.keystr(k)
+        if got is None:
+            raise ValueError(f"ported tree is missing {name}")
+        if tuple(got.shape) != tuple(ref_leaf.shape):
+            raise ValueError(
+                f"{name}: ported shape {got.shape} != model shape "
+                f"{ref_leaf.shape}"
+            )
+    if flat:
+        raise ValueError(
+            "ported tree has extra params: "
+            f"{[jax.tree_util.keystr(k) for k in flat]}"
+        )
+
+    if out_path is not None:
+        save_checkpoint(
+            out_path, params, model.config, transform_cfg,
+            extra={"imported_from": os.path.abspath(path)},
+        )
+    return model, params, build_transform(transform_cfg)

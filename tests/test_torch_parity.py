@@ -33,6 +33,10 @@ import jax.numpy as jnp  # noqa: E402
 from exaspim_tpu.models import UNet  # noqa: E402
 from exaspim_tpu.models.unet3d import resize_trilinear  # noqa: E402
 
+# Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
+pytestmark = pytest.mark.slow
+
+
 
 def _reference_unet(trilinear):
     from aind_exaspim_image_compression.machine_learning.unet3d import (
@@ -150,3 +154,92 @@ def test_align_corners_resize_matches_torch_upsample():
             torch.from_numpy(x.transpose(0, 4, 1, 2, 3))
         ).numpy().transpose(0, 2, 3, 4, 1)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def _trained_like_reference_unet(trilinear, seed=7):
+    """A reference torch UNet with non-trivial weights everywhere —
+    including the pre-GroupNorm conv biases the importer must carry."""
+    from aind_exaspim_image_compression.machine_learning.unet3d import (
+        UNet as TorchUNet,
+    )
+
+    torch.manual_seed(seed)
+    tm = TorchUNet(width_multiplier=1, trilinear=trilinear, residual=True)
+    tm.eval()
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.add_(0.05 * torch.randn_like(p))
+    return tm
+
+
+@pytest.mark.parametrize("trilinear", [True, False])
+def test_import_torch_checkpoint_exact(tmp_path, trilinear):
+    """End-to-end import of a reference-format checkpoint file: biases
+    and all, forward parity ≤1e-4, and the msgpack round-trip restores
+    the identical pipeline (reference inference.py:255-299)."""
+    from exaspim_tpu.train.checkpoint import (
+        import_torch_checkpoint,
+        restore_pipeline,
+    )
+
+    tm = _trained_like_reference_unet(trilinear)
+    ckpt_path = str(tmp_path / "ref.pth")
+    torch.save(
+        {
+            "model": tm.state_dict(),
+            "transform": {"kind": "asinh", "params": {"offset": 3.0}},
+            "model_config": {
+                "model": "UNet",
+                "width_multiplier": 1,
+                "trilinear": trilinear,
+                "residual": True,
+            },
+        },
+        ckpt_path,
+    )
+
+    out_path = str(tmp_path / "ported.msgpack")
+    model, params, transform = import_torch_checkpoint(
+        ckpt_path, out_path
+    )
+    assert model.conv_bias and model.align_corners
+    assert transform.cfg["params"]["offset"] == 3.0
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0.5, 0.2, (2, 32, 32, 32, 1)).astype(np.float32)
+    with torch.no_grad():
+        yt = tm(torch.from_numpy(x.transpose(0, 4, 1, 2, 3))).numpy()
+    yt = yt.transpose(0, 2, 3, 4, 1)
+    yf = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(yf, yt, atol=1e-4, rtol=1e-4)
+
+    # msgpack round-trip restores the identical pipeline
+    model2, params2, transform2 = restore_pipeline(
+        out_path, dtype=jnp.float32
+    )
+    assert model2.config == model.config
+    assert transform2.cfg == transform.cfg
+    y2 = np.asarray(model2.apply({"params": params2}, jnp.asarray(x)))
+    np.testing.assert_allclose(y2, yf, atol=1e-5, rtol=1e-5)
+
+
+def test_import_torch_checkpoint_legacy_bare_state_dict(tmp_path):
+    """A legacy bare state_dict imports with asinh default transform and
+    inferred architecture (reference inference.py:283-286)."""
+    from exaspim_tpu.train.checkpoint import import_torch_checkpoint
+
+    tm = _trained_like_reference_unet(trilinear=True, seed=11)
+    ckpt_path = str(tmp_path / "legacy.pth")
+    torch.save(tm.state_dict(), ckpt_path)
+
+    model, params, transform = import_torch_checkpoint(ckpt_path)
+    assert transform.cfg["kind"] == "asinh"
+    assert model.trilinear and type(model).__name__ == "UNet"
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(0.5, 0.2, (1, 32, 32, 32, 1)).astype(np.float32)
+    with torch.no_grad():
+        yt = tm(torch.from_numpy(x.transpose(0, 4, 1, 2, 3))).numpy()
+    yt = yt.transpose(0, 2, 3, 4, 1)
+    yf = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(yf, yt, atol=1e-4, rtol=1e-4)
