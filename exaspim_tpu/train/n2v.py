@@ -106,7 +106,13 @@ def make_n2v_train_step(transform=None, mask_rate=0.005, max_shift=2,
         def loss_fn(params):
             pred = state.apply_fn({"params": params}, x_in)[..., 0]
             if sigma_gain is not None:
-                pred_c = transform.inverse_float(pred)
+                # inverse_float_smooth: the *exact* inverse of some
+                # transforms clamps (Anscombe clips y at 0), which
+                # zeroes the gradient wherever the net predicts below
+                # the floor — roughly half the masked sites at init.
+                # The smooth variant agrees on the valid range and
+                # sign-extends below it.
+                pred_c = transform.inverse_float_smooth(pred)
                 err = charbonnier((pred_c - c3) / sigma, eps=eps)
             else:
                 err = charbonnier(pred - x3, eps=eps)

@@ -63,6 +63,16 @@ class IntensityTransform:
         """Maps normalized values to unclipped floating-point counts."""
         raise NotImplementedError
 
+    def inverse_float_smooth(self, y):
+        """Like :meth:`inverse_float`, but guaranteed smooth (nonzero
+        gradient) over the whole real line — for use inside losses that
+        differentiate through the inverse map (e.g. the σ-aware N2V
+        count-space loss). Defaults to :meth:`inverse_float`; transforms
+        whose exact inverse clamps (Anscombe clips y at 0) override
+        this with a sign-extended variant that agrees on the valid
+        range."""
+        return self.inverse_float(y)
+
     # shared clamp-and-quantize tail for `inverse`
     def _quantize(self, counts):
         xp = _xp(counts)
@@ -164,6 +174,19 @@ class AnscombeTransform(IntensityTransform):
             arg - self._c_inv * self.gain**2 - self.read_noise**2
         ) / self.gain
 
+    def inverse_float_smooth(self, y):
+        # Sign-extended inverse: d² → d·|d| keeps the map odd and
+        # monotone below y=0 instead of the flat (zero-gradient) clamp,
+        # so losses differentiating through it (σ-aware N2V) still
+        # learn when the net predicts below the transform's floor.
+        # Agrees exactly with inverse_float for y ≥ 0.
+        xp = _xp(y)
+        d = _f32(xp, y) * self._norm
+        arg = d * xp.abs(d) * (self.gain / 2.0) ** 2
+        return self.offset + (
+            arg - self._c_inv * self.gain**2 - self.read_noise**2
+        ) / self.gain
+
     def inverse(self, y):
         return self._quantize(self.inverse_float(y))
 
@@ -236,6 +259,9 @@ class OffsetTransform(IntensityTransform):
 
     def inverse_float(self, y):
         return self.base_transform.inverse_float(y) + self.offset
+
+    def inverse_float_smooth(self, y):
+        return self.base_transform.inverse_float_smooth(y) + self.offset
 
     def inverse(self, y):
         return self._quantize(self.inverse_float(y))

@@ -259,3 +259,45 @@ class TestJaxIntegration:
         t1 = AsinhTransform(offset=1.0)
         t2 = AsinhTransform(offset=1.0)
         assert t1 == t2 and hash(t1) == hash(t2)
+
+
+class TestInverseFloatSmooth:
+    """The σ-aware N2V loss differentiates through the inverse map;
+    ``inverse_float_smooth`` must agree with ``inverse_float`` on the
+    valid range but keep a nonzero gradient below the transform floor
+    (AnscombeTransform's exact inverse clips y at 0)."""
+
+    Y = np.linspace(0.0, 1.5, 64).astype(np.float32)
+
+    @pytest.mark.parametrize("cfg", [
+        {"kind": "asinh", "params": {"offset": 10.0}},
+        {"kind": "anscombe", "params": {"unbiased_inverse": False}},
+        {"kind": "linear", "params": {}},
+    ])
+    def test_agrees_on_valid_range(self, cfg):
+        t = build_transform(cfg)
+        assert_allclose(
+            t.inverse_float_smooth(self.Y), t.inverse_float(self.Y),
+            rtol=1e-6, atol=1e-5,
+        )
+
+    def test_anscombe_gradient_nonzero_below_floor(self):
+        t = AnscombeTransform(unbiased_inverse=False)
+        g_exact = jax.grad(lambda y: t.inverse_float(y))(-0.2)
+        g_smooth = jax.grad(lambda y: t.inverse_float_smooth(y))(-0.2)
+        assert float(g_exact) == 0.0          # the failure mode
+        assert float(g_smooth) > 0.0          # the fix
+        # and it stays monotone (odd extension)
+        ys = jnp.linspace(-1.0, 1.0, 101)
+        vals = t.inverse_float_smooth(ys)
+        assert bool(jnp.all(jnp.diff(vals) > 0))
+
+    def test_offset_transform_delegates(self):
+        base = build_transform(
+            {"kind": "anscombe", "params": {"unbiased_inverse": False}}
+        )
+        t = with_offset(base, 5.0)
+        y = np.float32(-0.3)
+        assert float(t.inverse_float_smooth(y)) == pytest.approx(
+            float(base.inverse_float_smooth(y)) + 5.0
+        )
