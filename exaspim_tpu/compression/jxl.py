@@ -49,6 +49,38 @@ class _JxlPixelFormat(ctypes.Structure):
     ]
 
 
+class _JxlBlendInfo(ctypes.Structure):
+    _fields_ = [
+        ("blendmode", ctypes.c_int),
+        ("source", ctypes.c_uint32),
+        ("alpha", ctypes.c_uint32),
+        ("clamp", ctypes.c_int),
+    ]
+
+
+class _JxlLayerInfo(ctypes.Structure):
+    _fields_ = [
+        ("have_crop", ctypes.c_int),
+        ("crop_x0", ctypes.c_int32),
+        ("crop_y0", ctypes.c_int32),
+        ("xsize", ctypes.c_uint32),
+        ("ysize", ctypes.c_uint32),
+        ("blend_info", _JxlBlendInfo),
+        ("save_as_reference", ctypes.c_uint32),
+    ]
+
+
+class _JxlFrameHeader(ctypes.Structure):
+    # libjxl 0.7 encode.h layout.
+    _fields_ = [
+        ("duration", ctypes.c_uint32),
+        ("timecode", ctypes.c_uint32),
+        ("name_length", ctypes.c_uint32),
+        ("is_last", ctypes.c_int),
+        ("layer_info", _JxlLayerInfo),
+    ]
+
+
 class _JxlBasicInfo(ctypes.Structure):
     # libjxl 0.7 codestream_header.h layout (all 4-byte fields).
     _fields_ = [
@@ -119,6 +151,10 @@ def _lib():
         lib.JxlEncoderSetFrameLossless.argtypes = [
             ctypes.c_void_p, ctypes.c_int
         ]
+        lib.JxlEncoderInitFrameHeader.argtypes = [ctypes.c_void_p]
+        lib.JxlEncoderSetFrameHeader.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p
+        ]
         lib.JxlEncoderAddImageFrame.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_size_t,
@@ -166,7 +202,12 @@ def _pixel_format(dtype):
 
 
 def jxl_encode(img, distance=1.0, effort=3, lossless=False):
-    """Encode a 2D grayscale uint8/uint16 array to a JPEG-XL codestream.
+    """Encode a grayscale uint8/uint16 array to a JPEG-XL codestream.
+
+    2D arrays encode as a single frame; 3D arrays encode each leading-
+    axis slice as one frame of a multiframe (animation) codestream —
+    the layout ``imagecodecs.jpegxl_encode`` produces for the 3D zarr
+    chunks the reference reads (reference img_util.py:170, 444-513).
 
     ``distance`` is the Butteraugli distance (0 = mathematically lossless,
     1.0 ≈ visually lossless); ``effort`` 1-9 trades speed for density —
@@ -177,20 +218,32 @@ def jxl_encode(img, distance=1.0, effort=3, lossless=False):
     if lib is None:
         raise RuntimeError("libjxl is not available on this system")
     img = np.ascontiguousarray(img)
-    if img.ndim != 2:
-        raise ValueError(f"expected a 2D slice, got {img.shape}")
+    if img.ndim == 2:
+        frames = img[None]
+    elif img.ndim == 3:
+        frames = img
+    else:
+        raise ValueError(f"expected a 2D slice or 3D stack, got {img.shape}")
     fmt = _pixel_format(img.dtype)
 
     enc = lib.JxlEncoderCreate(None)
     try:
         info = _JxlBasicInfo()
         lib.JxlEncoderInitBasicInfo(ctypes.byref(info))
-        info.xsize = img.shape[1]
-        info.ysize = img.shape[0]
+        info.xsize = frames.shape[2]
+        info.ysize = frames.shape[1]
         info.bits_per_sample = 16 if img.dtype == np.uint16 else 8
         info.exponent_bits_per_sample = 0
         info.num_color_channels = 1
         info.uses_original_profile = 1 if (lossless or distance == 0) else 0
+        if frames.shape[0] > 1:
+            # Multiframe streams need the animation header (frame
+            # timing is meaningless for volumetric chunks; 1 tick/s).
+            info.have_animation = 1
+            info.anim_tps_numerator = 1
+            info.anim_tps_denominator = 1
+            info.anim_num_loops = 0
+            info.anim_have_timecodes = 0
         if lib.JxlEncoderSetBasicInfo(enc, ctypes.byref(info)) != _ENC_SUCCESS:
             raise RuntimeError("JxlEncoderSetBasicInfo failed")
 
@@ -211,11 +264,25 @@ def jxl_encode(img, distance=1.0, effort=3, lossless=False):
         else:
             lib.JxlEncoderSetFrameDistance(opts, float(distance))
 
-        if lib.JxlEncoderAddImageFrame(
-            opts, ctypes.byref(fmt),
-            img.ctypes.data_as(ctypes.c_void_p), img.nbytes,
-        ) != _ENC_SUCCESS:
-            raise RuntimeError("JxlEncoderAddImageFrame failed")
+        for frame in frames:
+            frame = np.ascontiguousarray(frame)
+            if frames.shape[0] > 1:
+                # Frames default to duration 0, which marks them as
+                # composited layers of ONE displayed frame — the
+                # decoder would coalesce the stack. duration=1 makes
+                # each slice its own keyframe.
+                hdr = _JxlFrameHeader()
+                lib.JxlEncoderInitFrameHeader(ctypes.byref(hdr))
+                hdr.duration = 1
+                if lib.JxlEncoderSetFrameHeader(
+                    opts, ctypes.byref(hdr)
+                ) != _ENC_SUCCESS:
+                    raise RuntimeError("JxlEncoderSetFrameHeader failed")
+            if lib.JxlEncoderAddImageFrame(
+                opts, ctypes.byref(fmt),
+                frame.ctypes.data_as(ctypes.c_void_p), frame.nbytes,
+            ) != _ENC_SUCCESS:
+                raise RuntimeError("JxlEncoderAddImageFrame failed")
         lib.JxlEncoderCloseInput(enc)
 
         chunks = []
@@ -238,7 +305,11 @@ def jxl_encode(img, distance=1.0, effort=3, lossless=False):
 
 
 def jxl_decode(data, dtype=np.uint16):
-    """Decode a JPEG-XL codestream to a 2D grayscale array of ``dtype``."""
+    """Decode a JPEG-XL codestream to a grayscale array of ``dtype``.
+
+    Single-frame streams return 2D (y, x); multiframe (animation)
+    streams — e.g. 3D zarr chunks encoded frame-per-slice — return the
+    stacked 3D (frames, y, x) array."""
     lib = _lib()
     if lib is None:
         raise RuntimeError("libjxl is not available on this system")
@@ -254,7 +325,7 @@ def jxl_decode(data, dtype=np.uint16):
         lib.JxlDecoderSetInput(dec, raw, len(data))
         lib.JxlDecoderCloseInput(dec)
 
-        out = None
+        outs = []
         shape = None
         while True:
             status = lib.JxlDecoderProcessInput(dec)
@@ -266,18 +337,19 @@ def jxl_decode(data, dtype=np.uint16):
                     raise RuntimeError("JxlDecoderGetBasicInfo failed")
                 shape = (info.ysize, info.xsize)
             elif status == _DEC_NEED_IMAGE_OUT_BUFFER:
-                out = np.empty(shape, dtype)
+                outs.append(np.empty(shape, dtype))
                 if lib.JxlDecoderSetImageOutBuffer(
                     dec, ctypes.byref(fmt),
-                    out.ctypes.data_as(ctypes.c_void_p), out.nbytes,
+                    outs[-1].ctypes.data_as(ctypes.c_void_p),
+                    outs[-1].nbytes,
                 ) != _DEC_SUCCESS:
                     raise RuntimeError("JxlDecoderSetImageOutBuffer failed")
             elif status == _DEC_FULL_IMAGE:
                 continue
             elif status == _DEC_SUCCESS:
-                if out is None:
+                if not outs:
                     raise RuntimeError("decode finished without image data")
-                return out
+                return outs[0] if len(outs) == 1 else np.stack(outs)
             else:
                 raise RuntimeError(f"JxlDecoderProcessInput status {status}")
     finally:

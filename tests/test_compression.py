@@ -171,6 +171,24 @@ def test_jpegxl_codec_is_thread_safe_stateless():
         np.testing.assert_array_equal(out, sl)
 
 
+def test_jpegxl_multiframe_3d_roundtrip():
+    """3D stacks encode frame-per-slice into one multiframe codestream
+    and decode back stacked — the layout jxl-coded 3D zarr chunks use
+    (reference img_util.py:170 registers the Jpegxl zarr codec)."""
+    from exaspim_tpu.compression import jxl_available
+    from exaspim_tpu.compression.jxl import jxl_decode, jxl_encode
+
+    if not jxl_available():
+        pytest.skip("libjxl not present on this system")
+    vol = _poisson_volume((5, 40, 48), lam=2000, offset=500, seed=12)
+    enc = jxl_encode(vol, lossless=True)
+    out = jxl_decode(enc)
+    assert out.shape == vol.shape
+    np.testing.assert_array_equal(out, vol)
+    # 2D slices keep returning 2D.
+    assert jxl_decode(jxl_encode(vol[0], lossless=True)).ndim == 2
+
+
 def test_jpeg2000_slice_codec_uint16():
     from exaspim_tpu.compression import Jpeg2000SliceCodec
 
