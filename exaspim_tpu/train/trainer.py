@@ -137,7 +137,11 @@ class Trainer:
             ckpt_path if isinstance(ckpt_path, dict)
             else load_checkpoint(ckpt_path)
         )
-        if ckpt["model_config"] != self.model.config:
+        # Normalized comparison: checkpoints written before a config
+        # field existed compare by that field's default value.
+        from exaspim_tpu.models import build_model
+
+        if build_model(ckpt["model_config"]).config != self.model.config:
             raise ValueError(
                 "checkpoint model_config does not match this model: "
                 f"{ckpt['model_config']} vs {self.model.config}"
@@ -194,14 +198,42 @@ class Trainer:
         )
 
     def _resolve_device_cache(self, train_ds):
-        """Decide whether this run trains from an HBM-resident cache."""
-        if not self.device_cache or self.mesh is not None:
+        """Decide whether this run trains from an HBM-resident cache.
+
+        ``device_cache="auto"`` silently falls back to the streaming
+        loader when caching does not apply; an explicit
+        ``device_cache=True`` raises instead — a forced mode that
+        cannot be honored must not quietly train a different path.
+        """
+        forced = self.device_cache is True
+        if not self.device_cache:
+            return False
+        if self.mesh is not None:
+            if forced:
+                raise ValueError(
+                    "device_cache=True is incompatible with mesh "
+                    "data-parallel training (the DP step streams "
+                    "sharded host batches); use device_cache='auto' "
+                    "or None"
+                )
             return False
         if not all(hasattr(train_ds, f)
                    for f in ("_raw", "_teacher", "_fg")):
-            return False  # live/streaming dataset: no arrays to upload
+            # live/streaming dataset: no arrays to upload
+            if forced:
+                raise ValueError(
+                    "device_cache=True requires a cached dataset with "
+                    "in-memory (_raw, _teacher, _fg) arrays; a live/"
+                    "streaming dataset cannot be device-resident"
+                )
+            return False
         n = len(train_ds)
         if n < self.batch_size:
+            if forced:
+                raise ValueError(
+                    f"device_cache=True but the dataset ({n} patches) "
+                    f"is smaller than batch_size ({self.batch_size})"
+                )
             return False
         fits = self._cache_nbytes(train_ds) <= self.device_cache_budget
         if self.device_cache == "auto":
@@ -216,17 +248,43 @@ class Trainer:
             )
         return True
 
+    # Host-side staging granularity for the cache upload: bounds the
+    # transient host RAM at one chunk (instead of the whole memmap'd
+    # shard) and, with buffer donation below, bounds the transient HBM
+    # at final_size + one chunk (instead of ~2x for a concatenate).
+    _UPLOAD_CHUNK_BYTES = 256 << 20
+
     def _upload_cache(self, ds):
-        """Ship the full (raw, teacher, fg) cache to device HBM once."""
+        """Ship the full (raw, teacher, fg) cache to device HBM once.
+
+        Streams chunk-by-chunk into one preallocated, donated device
+        buffer: multi-GiB memmap caches upload without materializing a
+        shard on the host or double-buffering the cache in HBM.
+        """
         import jax.numpy as jnp
+        from jax import lax
 
         t0 = time.time()
 
         def up(parts):
-            arrs = [jax.device_put(np.ascontiguousarray(p))
-                    for p in parts]
-            return (arrs[0] if len(arrs) == 1
-                    else jnp.concatenate(arrs, axis=0))
+            n = sum(p.shape[0] for p in parts)
+            tail = parts[0].shape[1:]
+            buf = jnp.zeros((n, *tail), parts[0].dtype)
+            write = jax.jit(
+                lambda b, s, o: lax.dynamic_update_slice(
+                    b, s, (o,) + (0,) * len(tail)
+                ),
+                donate_argnums=0,
+            )
+            off = 0
+            for p in parts:
+                row_bytes = max(1, int(np.prod(tail)) * p.dtype.itemsize)
+                rows = max(1, self._UPLOAD_CHUNK_BYTES // row_bytes)
+                for lo in range(0, p.shape[0], rows):
+                    chunk = np.ascontiguousarray(p[lo:lo + rows])
+                    buf = write(buf, jax.device_put(chunk), off)
+                    off += chunk.shape[0]
+            return buf
 
         out = tuple(
             up(getattr(ds, f)) for f in ("_raw", "_teacher", "_fg")
@@ -283,7 +341,13 @@ class Trainer:
                     "resume transform cfg mismatch: "
                     f"{meta['transform']} vs {self.transform.cfg}"
                 )
-            if meta["model_config"] != self.model.config:
+            # Normalize through build_model so checkpoints written
+            # before a config field existed (and thus lack the key)
+            # still compare equal to a model using its default value.
+            from exaspim_tpu.models import build_model
+
+            if build_model(meta["model_config"]).config \
+                    != self.model.config:
                 raise ValueError(
                     "resume model_config mismatch: "
                     f"{meta['model_config']} vs {self.model.config}"
@@ -350,13 +414,15 @@ class Trainer:
             import jax.numpy as jnp
 
             raw_dev, teacher_dev, fg_dev = self._upload_cache(train_ds)
-            n_batches = steps_per_epoch * self.batch_size
+            samples_per_epoch = steps_per_epoch * self.batch_size
             for epoch in range(start_epoch, self.epochs):
                 # Identical permutation stream to DataLoader._order.
                 order = np.random.default_rng(
                     np.random.SeedSequence([self.seed, epoch])
-                ).permutation(len(train_ds))[:n_batches].astype(np.int32)
-                for lo in range(0, n_batches, self.batch_size):
+                ).permutation(
+                    len(train_ds)
+                )[:samples_per_epoch].astype(np.int32)
+                for lo in range(0, samples_per_epoch, self.batch_size):
                     idx = jnp.asarray(order[lo:lo + self.batch_size])
                     state, loss = train_step(
                         state, raw_dev, teacher_dev, fg_dev, idx

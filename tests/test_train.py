@@ -30,6 +30,10 @@ from exaspim_tpu.train import (
 )
 from exaspim_tpu.transforms import build_transform
 
+# Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
+pytestmark = pytest.mark.slow
+
+
 TCFG = {"kind": "asinh", "params": {"offset": 100.0, "scale": 50.0}}
 SMALL = dict(width_multiplier=0.25)
 
@@ -267,3 +271,52 @@ def test_device_cache_auto_gating(tmp_path, tiny_caches):
                  epochs=1, batch_size=4, tensorboard=False,
                  device_cache=False)
     assert tr._resolve_device_cache(train_ds) is False
+
+
+def test_device_cache_forced_raises_when_unhonorable(tmp_path, tiny_caches):
+    """An explicit device_cache=True must raise — not silently stream —
+    when the mode cannot be honored (live dataset, tiny dataset, mesh)."""
+    train_dir, _ = tiny_caches
+    t = build_transform(TCFG)
+    train_ds = CachedPatchDataset(train_dir)
+
+    class _Live:  # no _raw/_teacher/_fg arrays
+        def __len__(self):
+            return 100
+
+    tr = Trainer(os.path.join(tmp_path, "live"), UNet(**SMALL), t,
+                 epochs=1, batch_size=4, tensorboard=False,
+                 device_cache=True)
+    with pytest.raises(ValueError, match="live"):
+        tr._resolve_device_cache(_Live())
+
+    tr = Trainer(os.path.join(tmp_path, "small"), UNet(**SMALL), t,
+                 epochs=1, batch_size=64, tensorboard=False,
+                 device_cache=True)
+    with pytest.raises(ValueError, match="smaller than batch_size"):
+        tr._resolve_device_cache(train_ds)
+
+    # auto mode stays silent on the same inputs
+    tr = Trainer(os.path.join(tmp_path, "auto"), UNet(**SMALL), t,
+                 epochs=1, batch_size=64, tensorboard=False,
+                 device_cache="auto")
+    assert tr._resolve_device_cache(train_ds) is False
+    assert tr._resolve_device_cache(_Live()) is False
+
+
+def test_upload_cache_chunked_matches_whole(tmp_path, tiny_caches):
+    """The chunked streaming upload must produce the same device arrays
+    as a plain concatenate, including across the chunk boundary."""
+    train_dir, _ = tiny_caches
+    t = build_transform(TCFG)
+    ds = CachedPatchDataset(train_dir)
+    tr = Trainer(os.path.join(tmp_path, "u"), UNet(**SMALL), t,
+                 epochs=1, batch_size=4, tensorboard=False)
+    tr._UPLOAD_CHUNK_BYTES = 3 * ds._raw[0][0].nbytes  # force chunking
+    raw_dev, teacher_dev, fg_dev = tr._upload_cache(ds)
+    np.testing.assert_array_equal(
+        np.asarray(raw_dev), np.concatenate(ds._raw, axis=0))
+    np.testing.assert_array_equal(
+        np.asarray(teacher_dev), np.concatenate(ds._teacher, axis=0))
+    np.testing.assert_array_equal(
+        np.asarray(fg_dev), np.concatenate(ds._fg, axis=0))
