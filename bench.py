@@ -53,11 +53,22 @@ MIN_CRATIO_GAIN = 1.3
 
 
 def _baseline():
+    """(voxels/sec, threads) of the measured CPU-reference anchor."""
     path = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
     if os.path.exists(path):
         with open(path) as f:
-            return float(json.load(f)["voxels_per_sec"])
-    return DEFAULT_BASELINE_VOXSEC
+            d = json.load(f)
+        return float(d["voxels_per_sec"]), int(d.get("threads", 1))
+    return DEFAULT_BASELINE_VOXSEC, 1
+
+
+# The measurement host exposes a single CPU (nproc == 1), so the torch
+# reference baseline can only be MEASURED single-threaded here. To keep
+# the headline ratio unimpeachable against a realistic multi-core
+# deployment, the bench also reports the ratio against a hypothetical
+# perfectly-scaling 16-thread run of the same baseline (real torch-CPU
+# conv scaling is sublinear, so this extrapolation favors the CPU).
+EXTRAPOLATED_BASELINE_THREADS = 16
 
 
 def _wait_for_backend(max_wait_s):
@@ -312,12 +323,18 @@ def main():
     except Exception:  # noqa: BLE001 — secondary metric only
         pass
 
-    baseline = _baseline()
+    baseline, baseline_threads = _baseline()
+    extrap = max(1, EXTRAPOLATED_BASELINE_THREADS // max(1, baseline_threads))
     print(json.dumps({
         "metric": "bm4dnet_tiled_inference_256c_uint16",
         "value": round(voxsec, 1),
         "unit": "voxels/sec/chip",
         "vs_baseline": round(voxsec / baseline, 2),
+        "baseline_threads": baseline_threads,
+        "host_cpus": os.cpu_count(),
+        "vs_baseline_16thread_extrapolated": round(
+            voxsec / (baseline * extrap), 2
+        ),
         "block": [BLOCK] * 3,
         "patch": inf_patch,
         "overlap": OVERLAP,
