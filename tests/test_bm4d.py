@@ -14,6 +14,10 @@ from scipy import ndimage
 from exaspim_tpu.ops.bm4d import bm4d, bm4d_stage
 from tests.phantoms import tube_phantom
 
+# Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
+pytestmark = pytest.mark.slow
+
+
 
 def _rmse(a, b):
     return float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))

@@ -182,6 +182,7 @@ def test_count_collates_are_stack_only():
     np.testing.assert_array_equal(x2[..., 0], counts)
 
 
+@pytest.mark.slow
 def test_count_space_train_step_matches_transform_domain():
     import jax.numpy as jnp
 
@@ -224,6 +225,7 @@ class _IndexDataset:
         return base, base + 1, base > 0.5
 
 
+@pytest.mark.slow
 def test_loader_process_pool_matches_thread_mode():
     from exaspim_tpu.data.loader import DataLoader
 

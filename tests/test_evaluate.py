@@ -11,6 +11,11 @@ from exaspim_tpu.models import UNet
 from exaspim_tpu.train import checkpoint_filename, create_train_state, \
     save_checkpoint
 from exaspim_tpu.transforms import build_transform
+import pytest
+
+# Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
+pytestmark = pytest.mark.slow
+
 
 TCFG = {"kind": "asinh", "params": {"offset": 100.0, "scale": 50.0}}
 

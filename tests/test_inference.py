@@ -21,6 +21,10 @@ from exaspim_tpu.inference import (
 from exaspim_tpu.models import UNet
 from exaspim_tpu.transforms import build_transform
 
+# Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
+pytestmark = pytest.mark.slow
+
+
 TCFG = {"kind": "linear", "params": {"mn": 0.0, "mx": 1000.0, "clip": 8.0}}
 
 

@@ -14,6 +14,10 @@ import pytest
 from exaspim_tpu.models import MODEL_REGISTRY, N2V2UNet, UNet, build_model
 from exaspim_tpu.models.unet3d import _norm_groups, blur_pool3d, max_pool3d
 
+# Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
+pytestmark = pytest.mark.slow
+
+
 
 SMALL = {"width_multiplier": 0.25}
 

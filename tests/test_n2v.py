@@ -10,6 +10,7 @@ exercised offline, not in unit tests.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from exaspim_tpu.models import N2V2UNet
 from exaspim_tpu.train import create_train_state
@@ -19,6 +20,10 @@ from exaspim_tpu.train.n2v import (
     make_n2v_train_step,
 )
 from exaspim_tpu.transforms import build_transform
+
+# Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
+pytestmark = pytest.mark.slow
+
 
 TCFG = {"kind": "linear", "params": {"mn": 0.0, "mx": 1000.0}}
 

@@ -17,6 +17,9 @@ from exaspim_tpu.ops.nb_conv import (
     to_blocked,
 )
 
+# Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
+pytestmark = pytest.mark.slow
+
 
 def _ref(x, k):
     return jax.lax.conv_general_dilated(

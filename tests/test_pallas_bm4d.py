@@ -14,6 +14,10 @@ import pytest
 from exaspim_tpu.ops.bm4d import bm4d_stage
 from exaspim_tpu.ops.pallas_bm4d import match_topk
 
+# Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
+pytestmark = pytest.mark.slow
+
+
 
 def _naive_match(guide, block, group, step, search):
     """Direct numpy block matching (the oracle)."""

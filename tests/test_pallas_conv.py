@@ -15,6 +15,9 @@ from exaspim_tpu.ops.pallas_conv import (
     supports_blocked_conv,
 )
 
+# Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
+pytestmark = pytest.mark.slow
+
 
 def _ref(x, k):
     return jax.lax.conv_general_dilated(

@@ -8,6 +8,11 @@ from exaspim_tpu.inference import predict
 from exaspim_tpu.pipeline import denoise_volume
 from exaspim_tpu.transforms import build_transform
 from exaspim_tpu.utils import img_io
+import pytest
+
+# Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
+pytestmark = pytest.mark.slow
+
 
 TCFG = {"kind": "linear", "params": {"mn": 0.0, "mx": 1000.0, "clip": 8.0}}
 

@@ -3,6 +3,8 @@
 import os
 import time
 
+import pytest
+
 from exaspim_tpu.utils.profiling import (
     StepTimer,
     device_memory_stats,
@@ -27,6 +29,7 @@ def test_trace_disabled_noop(tmp_path):
     assert not os.listdir(tmp_path)
 
 
+@pytest.mark.slow
 def test_trace_enabled_writes(tmp_path):
     import jax
     import jax.numpy as jnp

@@ -25,6 +25,10 @@ import train_bm4dnet as train_script  # noqa: E402
 import evaluate_bm4dnet as evaluate_script  # noqa: E402
 import visualize_patches as viz_script  # noqa: E402
 
+# Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
+pytestmark = pytest.mark.slow
+
+
 
 TCFG = {"kind": "asinh", "params": {"offset": 100.0, "scale": 50.0}}
 
