@@ -87,6 +87,28 @@ def _col2im_kernel_np(b):
 
 
 @functools.lru_cache(maxsize=None)
+def _patch_kernel_np(b, c):
+    """One-hot patch-extraction kernel (B, B, B, C, C·B³).
+
+    Output channel ci·B³ + flat(δ) holds input channel ci at in-block
+    offset δ — a C-channel generalization of
+    ``conv_general_dilated_patches`` with an explicit, documented
+    channel order, so the Wiener stage can extract noisy+guide rows in
+    ONE conv and gather both with ONE 2·B³-lane row gather (two
+    half-width gathers were ~2× the HBM random-access cost).
+    """
+    n = b * b * b
+    kern = np.zeros((b, b, b, c, c * n), np.float32)
+    for dz in range(b):
+        for dy in range(b):
+            for dx in range(b):
+                flat = (dz * b + dy) * b + dx
+                for ci in range(c):
+                    kern[dz, dy, dx, ci, ci * n + flat] = 1.0
+    return kern
+
+
+@functools.lru_cache(maxsize=None)
 def _col2im_agg_kernel_np(b):
     """Aggregation fold kernel (B, B, B, B³+1, 2).
 
@@ -126,10 +148,10 @@ def _strided_box_sum(x, size, stride):
 @functools.partial(
     jax.jit,
     static_argnames=("block", "group", "step", "search", "mode",
-                     "matcher"),
+                     "matcher", "agg"),
 )
 def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
-               mode="hard", matcher="auto"):
+               mode="hard", matcher="auto", agg="slices"):
     """One BM4D pass over ``noisy``; groups are matched on ``guide``.
 
     mode="hard": hard-threshold coefficients at 2.7σ (stage 1).
@@ -229,36 +251,46 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
     )
     sz, sy, sx = sel[..., 0], sel[..., 1], sel[..., 2]
 
-    # Row-major block view: rows[z, y, x, :] is the flattened B³ block
-    # starting at (z, y, x) — one patch-extraction op, so the group
-    # gather below moves whole B³-element rows instead of scalars
-    # (XLA scalar gathers serialize on TPU, and an unrolled B³-slice
-    # stack would blow up compile time).
-    def block_rows(vol3):
-        return jax.lax.conv_general_dilated_patches(
-            vol3[None, ..., None], filter_shape=(B, B, B),
+    # Row-major block view: rows[z, y, x, ci·B³ + flat(δ)] is channel
+    # ci's flattened B³ block starting at (z, y, x) — one
+    # patch-extraction conv (explicit one-hot kernel, see
+    # _patch_kernel_np), so the group gather below moves whole
+    # C·B³-element rows instead of scalars (XLA scalar gathers
+    # serialize on TPU, and an unrolled B³-slice stack would blow up
+    # compile time). The Wiener stage extracts noisy and guide
+    # together: the gather is HBM random-access bound (measured
+    # ~19 GB/s on 128-byte rows), so one 2·B³-lane gather beats two
+    # B³-lane gathers.
+    def block_rows(vols):
+        c = len(vols)
+        stacked = jnp.stack(vols, axis=-1)[None]  # (1, Z, Y, X, C)
+        return jax.lax.conv_general_dilated(
+            stacked, jnp.asarray(_patch_kernel_np(B, c)),
             window_strides=(1, 1, 1), padding="VALID",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )[0]  # (Z-B+1, Y-B+1, X-B+1, B³)
+        )[0]  # (Z-B+1, Y-B+1, X-B+1, C·B³)
 
-    nrows = block_rows(noisy)
-    grows = block_rows(guide)
-    ngroups = nrows[sz, sy, sx].reshape(-1, K * B * B * B)
-    ggroups = grows[sz, sy, sx].reshape(-1, K * B * B * B)
-
-    # Whole 4D transform as one (R, K·B³) @ (K·B³, K·B³) GEMM (see
-    # _dct4_matrix_np). Row-vector convention: coef = g @ M4ᵀ,
-    # inverse g = coef @ M4 (orthonormal).
+    nb3 = B * B * B
     m4 = jnp.asarray(_dct4_matrix_np(K, B))
-    coef_n = ngroups @ m4.T
 
     if mode == "hard":
+        rows = block_rows([noisy])
+        ngroups = rows[sz, sy, sx].reshape(-1, K * nb3)
+        # Whole 4D transform as one (R, K·B³) @ (K·B³, K·B³) GEMM (see
+        # _dct4_matrix_np). Row-vector convention: coef = g @ M4ᵀ,
+        # inverse g = coef @ M4 (orthonormal).
+        coef_n = ngroups @ m4.T
         thr = 2.7 * sigma
         keep = jnp.abs(coef_n) > thr
         coef = jnp.where(keep, coef_n, 0.0)
         nretained = jnp.sum(keep, axis=1).astype(jnp.float32)
         wgt = 1.0 / (1.0 + nretained)  # (R,)
     else:
+        rows = block_rows([noisy, guide])
+        both = rows[sz, sy, sx].reshape(-1, K, 2, nb3)
+        ngroups = both[:, :, 0].reshape(-1, K * nb3)
+        ggroups = both[:, :, 1].reshape(-1, K * nb3)
+        coef_n = ngroups @ m4.T
         coef_g = ggroups @ m4.T
         shrink = coef_g**2 / (coef_g**2 + sigma**2 + 1e-12)
         coef = coef_n * shrink
@@ -323,23 +355,52 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
         parts[0] if nchunks == 1 else jnp.concatenate(parts, axis=0)
     )
 
-    # Fold rows back to voxel space in one conv: out channel 0 is the
-    # value col2im out[v] = Σ_i rows[v − δᵢ][i]; channel 1 folds the
-    # augmented weight channel with an all-taps kernel (every row
-    # covers all B³ voxels it spans) — see _col2im_agg_kernel_np. One
-    # conv replaces B³ serialized shifted-add passes plus a separate
-    # padded box sum of the weight field.
-    folded = jax.lax.conv_general_dilated(
-        acc_rows[None], jnp.asarray(_col2im_agg_kernel_np(B)),
-        window_strides=(1, 1, 1), padding=[(B - 1, B - 1)] * 3,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )[0]  # (Z, Y, X, 2)
-    accum, weight = folded[..., 0], folded[..., 1]
+    # Fold rows back to voxel space: out[v] = Σ_δ rows[v − δ, flat(δ)].
+    if agg == "conv":
+        # One conv: out channel 0 is the value col2im; channel 1 folds
+        # the augmented weight channel with an all-taps kernel (every
+        # row covers all B³ voxels it spans) — _col2im_agg_kernel_np.
+        folded = jax.lax.conv_general_dilated(
+            acc_rows[None], jnp.asarray(_col2im_agg_kernel_np(B)),
+            window_strides=(1, 1, 1), padding=[(B - 1, B - 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )[0]  # (Z, Y, X, 2)
+        accum, weight = folded[..., 0], folded[..., 1]
+    else:
+        # Static-slice fold (the default): B³ shifted single-channel
+        # window adds, fused by XLA into one pass over the accumulator.
+        # The conv formulation has only 2 output channels — far below
+        # MXU tile width — and measured ~4× slower than its own HBM
+        # traffic bound; the slice fold is pure VPU adds and reads each
+        # accumulator element once. The weight fold is mathematically a
+        # B-box sum of the weight channel, done separably.
+        padded = jnp.pad(acc_rows, [(B - 1, B - 1)] * 3 + [(0, 0)])
+        accum = jnp.zeros((Z, Y, X), jnp.float32)
+        for dz in range(B):
+            for dy in range(B):
+                for dx in range(B):
+                    flat = (dz * B + dy) * B + dx
+                    start = (B - 1 - dz, B - 1 - dy, B - 1 - dx, flat)
+                    win = jax.lax.slice(
+                        padded, start,
+                        (start[0] + Z, start[1] + Y, start[2] + X,
+                         flat + 1),
+                    )
+                    accum = accum + win[..., 0]
+        wpad = padded[..., nrow - 1]
+        for axis in range(3):
+            window = [1, 1, 1]
+            window[axis] = B
+            wpad = jax.lax.reduce_window(
+                wpad, 0.0, jax.lax.add, tuple(window), (1, 1, 1),
+                "VALID",
+            )
+        weight = wpad
     return (accum / (weight + 1e-12))[:Z0, :Y0, :X0]
 
 
 def bm4d_batch(vols, sigma, block=4, group=16, step=3, search=9,
-               two_stage=True, matcher="auto"):
+               two_stage=True, matcher="auto", agg="slices"):
     """Denoise a batch of equal-shape volumes.
 
     A host loop of asynchronously queued per-volume dispatches (the
@@ -351,14 +412,14 @@ def bm4d_batch(vols, sigma, block=4, group=16, step=3, search=9,
     """
     fn = functools.partial(
         bm4d, block=block, group=group, step=step, search=search,
-        two_stage=two_stage, matcher=matcher,
+        two_stage=two_stage, matcher=matcher, agg=agg,
     )
     vols = jnp.asarray(vols)
     return jnp.stack([fn(vols[i], sigma) for i in range(vols.shape[0])])
 
 
 def bm4d(vol, sigma, block=4, group=16, step=3, search=9, two_stage=True,
-         matcher="auto"):
+         matcher="auto", agg="slices"):
     """Denoise a 3D volume with BM4D (drop-in for the reference's
     ``bm4d.bm4d(raw, sigma)`` call sites).
 
@@ -371,11 +432,11 @@ def bm4d(vol, sigma, block=4, group=16, step=3, search=9, two_stage=True,
     sigma = jnp.float32(sigma)
     basic = bm4d_stage(
         vol, vol, sigma, block=block, group=group, step=step,
-        search=search, mode="hard", matcher=matcher,
+        search=search, mode="hard", matcher=matcher, agg=agg,
     )
     if not two_stage:
         return basic
     return bm4d_stage(
         vol, basic, sigma, block=block, group=group, step=step,
-        search=search, mode="wiener", matcher=matcher,
+        search=search, mode="wiener", matcher=matcher, agg=agg,
     )

@@ -101,6 +101,20 @@ def test_chunked_scatter_matches_single_chunk(phantom):
     np.testing.assert_allclose(many, one, rtol=1e-6, atol=1e-4)
 
 
+def test_agg_slices_matches_conv(phantom):
+    """The static-slice col2im fold (the fast default) must agree with
+    the one-shot conv formulation in both stage modes."""
+    _, noisy = phantom
+    for mode in ("hard", "wiener"):
+        a = np.asarray(
+            bm4d_stage(noisy, noisy, 30.0, mode=mode, agg="slices")
+        )
+        b = np.asarray(
+            bm4d_stage(noisy, noisy, 30.0, mode=mode, agg="conv")
+        )
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
 def test_dct4_kron_matches_separable():
     """The Kronecker 4D-DCT matrix equals the separable per-axis
     transform (and its transpose inverts it exactly)."""
