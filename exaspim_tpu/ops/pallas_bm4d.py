@@ -8,9 +8,9 @@ and emit the full distance table — then select the K best offsets —
 with the volume read essentially once:
 
 * ``match_distances`` — grid over (ref z-row, Δy); per step the kernel
-  forms the (Δy, Δx)-shifted guide with a *dynamic sublane* slice for
-  Δy and static lane slices for the unrolled Δx loop (Mosaic rejects
-  dynamic lane offsets but takes dynamic sublane starts), sums
+  forms the (Δy, Δx)-shifted guide with static slices, branching over
+  the W possible Δy values (Mosaic requires provably 8-aligned dynamic
+  sublane starts, so Δy cannot be a dynamic slice), sums
   the squared difference over the block's z extent, and collapses the
   y/x box-window-and-stride in one step each as band-matrix matmuls on
   the MXU (``P[j, y] = 1 for y ∈ [step·j, step·j+B)``). Output: the
@@ -72,37 +72,42 @@ def _match_kernel(*refs, B, W, step, Y, X, gy, gx, cchunk, gyp, gxp):
     # are masked by position in the selection kernel).
     out_ref[0] = jnp.zeros((cchunk, gyp, gxp), jnp.float32)
 
-    # Δy is the grid minor axis and shifts the *sublane* (y) axis, which
-    # Mosaic supports dynamically — the y slice start is simply ``dyi``
-    # (= half + Δy). A previous revision branched over the W possible Δy
-    # values with ``pl.when``; the single dynamic-sublane slice emits
-    # 1/W of that code and avoids any predicated-arm overhead.
-    for dxi, dx in enumerate(range(-half, half + 1)):
-        rows = []
-        for dz in range(-half, half + 1):
-            d2 = None
-            for t in range(B):
-                sh = plane(
-                    lead + dz + t,
-                    pl.ds(dyi, Y),
-                    slice(half + dx, half + dx + X),
+    # Δy is the grid minor axis and shifts the *sublane* (y) axis.
+    # Mosaic only takes dynamic sublane starts it can prove 8-aligned
+    # (a pl.ds(dyi, Y) load fails to compile on real TPU: "cannot
+    # statically prove that index in dimension 1 is a multiple of 8"),
+    # so branch over the W possible Δy values — scf.if control flow
+    # means only the selected arm executes; the cost is code size.
+    for dy in range(-half, half + 1):
+
+        @pl.when(dyi == dy + half)
+        def _():
+            for dxi, dx in enumerate(range(-half, half + 1)):
+                rows = []
+                for dz in range(-half, half + 1):
+                    d2 = None
+                    for t in range(B):
+                        sh = plane(
+                            lead + dz + t,
+                            slice(half + dy, half + dy + Y),
+                            slice(half + dx, half + dx + X),
+                        )
+                        d = (gc[t] - sh) ** 2
+                        d2 = d if d2 is None else d2 + d
+                    # y box+stride then x box+stride as band matmuls.
+                    fy = jax.lax.dot_general(
+                        py, d2, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (gy, X)
+                    fx = jax.lax.dot_general(
+                        fy, px, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (gy, gx)
+                    rows.append(fx[None])
+                row0 = dxi * W
+                out_ref[0, row0: row0 + W, :gy, :gx] = (
+                    jnp.concatenate(rows, axis=0)
                 )
-                d = (gc[t] - sh) ** 2
-                d2 = d if d2 is None else d2 + d
-            # y box+stride then x box+stride as band matmuls.
-            fy = jax.lax.dot_general(
-                py, d2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (gy, X)
-            fx = jax.lax.dot_general(
-                fy, px, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (gy, gx)
-            rows.append(fx[None])
-        row0 = dxi * W
-        out_ref[0, row0: row0 + W, :gy, :gx] = (
-            jnp.concatenate(rows, axis=0)
-        )
 
 
 def _select_kernel(d2_ref, out_ref, *, K, W, cchunk):
