@@ -317,9 +317,17 @@ def main():
             .astype(np.float32)
         )
         np.asarray(_bm4d(bvol, 24.0)[:1, :1, :4])  # compile + run
+        # Amortized throughput over a chain of async-dispatched calls
+        # (one host sync at the end): the production shape of this op
+        # is thousands of teacher patches back-to-back
+        # (scripts/precompute.py), not a single synchronous call, and
+        # the tunnel's ~38 ms per-sync RTT would otherwise dominate a
+        # ~0.2 s measurement.
+        nrep = 10
         t0 = time.perf_counter()
-        np.asarray(_bm4d(bvol, 24.0)[:1, :1, :4])
-        bm4d_voxsec = 128 ** 3 / (time.perf_counter() - t0)
+        outs = [_bm4d(bvol, 24.0) for _ in range(nrep)]
+        np.asarray(jnp.stack([o[0, 0, 0] for o in outs]))
+        bm4d_voxsec = nrep * 128 ** 3 / (time.perf_counter() - t0)
     except Exception:  # noqa: BLE001 — secondary metric only
         pass
 

@@ -207,9 +207,15 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
     if matcher == "pallas":
         from exaspim_tpu.ops.pallas_bm4d import match_topk
 
-        idx, offs = match_topk(
+        # The select kernel emits absolute (unclipped) starts; only
+        # the border clip remains here (the XLA branch's refs+offs
+        # gather-add was a measured 3.4 ms/stage fusion at 128³).
+        uz, uy, ux = match_topk(
             guide, block=B, group=K, step=step, search=W
         )
+        sz = jnp.clip(uz, 0, Z - B)
+        sy = jnp.clip(uy, 0, Y - B)
+        sx = jnp.clip(ux, 0, X - B)
     else:
         offs_np = np.stack(
             [g.ravel()
@@ -242,14 +248,13 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
         tie_eps = 1e-6 * (jnp.mean(d2, axis=0, keepdims=True) + 1.0)
         d2 = d2 + tie_eps * off_norm2[:, None]
         _, idx = jax.lax.top_k(-d2.T, K)  # (R, K) best offset indices
-
-    sel = refs[:, None, :] + offs[idx]  # (R, K, 3) starts, original coords
-    # Clamp near-border candidates into the volume (the classical
-    # algorithm restricts matching to in-bounds blocks).
-    sel = jnp.clip(
-        sel, 0, jnp.asarray([Z - B, Y - B, X - B], jnp.int32)
-    )
-    sz, sy, sx = sel[..., 0], sel[..., 1], sel[..., 2]
+        sel = refs[:, None, :] + offs[idx]  # (R, K, 3) starts
+        # Clamp near-border candidates into the volume (the classical
+        # algorithm restricts matching to in-bounds blocks).
+        sel = jnp.clip(
+            sel, 0, jnp.asarray([Z - B, Y - B, X - B], jnp.int32)
+        )
+        sz, sy, sx = sel[..., 0], sel[..., 1], sel[..., 2]
 
     # Row-major block view: rows[z, y, x, ci·B³ + flat(δ)] is channel
     # ci's flattened B³ block starting at (z, y, x) — one

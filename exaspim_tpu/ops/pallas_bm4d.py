@@ -70,7 +70,7 @@ def _match_kernel(*refs, B, W, step, Y, X, gy, gx, cchunk, gyp, gxp):
     # Zero the whole block once (unwritten output is undefined; padded
     # ref columns select garbage the caller crops, padded offset rows
     # are masked by position in the selection kernel).
-    out_ref[0] = jnp.zeros((cchunk, gyp, gxp), jnp.float32)
+    out_ref[0] = jnp.zeros((cchunk, gyp, gxp), jnp.bfloat16)
 
     # Δy is the grid minor axis and shifts the *sublane* (y) axis.
     # Mosaic only takes dynamic sublane starts it can prove 8-aligned
@@ -94,55 +94,94 @@ def _match_kernel(*refs, B, W, step, Y, X, gy, gx, cchunk, gyp, gxp):
                         )
                         d = (gc[t] - sh) ** 2
                         d2 = d if d2 is None else d2 + d
-                    # y box+stride then x box+stride as band matmuls.
+                    # Band matmuls in bf16 with f32 accumulation: the
+                    # MXU runs bf16 at 4× its f32 rate and the band
+                    # operand is 0/1 (bf16-exact), so only the summed
+                    # diff planes round (≲0.4 % relative). Distances
+                    # feed a *ranking*; razor-thin ties flip, which
+                    # BM4D grouping is indifferent to (the f64-oracle
+                    # test compares with a matching distance
+                    # tolerance).
+                    d2 = d2.astype(jnp.bfloat16)
                     fy = jax.lax.dot_general(
                         py, d2, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (gy, X)
                     fx = jax.lax.dot_general(
-                        fy, px, (((1,), (1,)), ((), ())),
+                        fy.astype(jnp.bfloat16), px,
+                        (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (gy, gx)
                     rows.append(fx[None])
                 row0 = dxi * W
-                out_ref[0, row0: row0 + W, :gy, :gx] = (
-                    jnp.concatenate(rows, axis=0)
-                )
+                # The table is stored bf16: it is 836 MB in f32 at
+                # 128³ — the write (here) and the read (select) are
+                # pure HBM traffic, and its values are box sums of
+                # already-bf16-rounded summands.
+                out_ref[0, row0: row0 + W, :gy, :gx] = jnp.concatenate(
+                    rows, axis=0
+                ).astype(jnp.bfloat16)
 
 
-def _select_kernel(d2_ref, out_ref, *, K, W, cchunk):
-    """Iterative masked-argmin top-K over one column chunk.
+def _select_kernel(d2_ref, sz_ref, sy_ref, sx_ref, *, K, W, cchunk,
+                   step, yb):
+    """Iterative packed-key top-K over one column chunk.
 
-    Applies the near-offset tie-break (per-column scale) before
-    selection: flat regions tie every candidate and the group must
-    prefer near offsets or coverage collapses to a window corner.
-    Padded offset rows (c mod cchunk ≥ W²) carry zeros from the match
-    kernel; they are masked to +inf here (padded *columns* select
-    garbage that the caller crops). The per-offset ‖Δ‖² penalty basis
-    is derived from the row index in-kernel — an HBM input for it
-    costs a ~14 ms serialized copy next to the custom-call.
+    Each table entry is packed into ONE monotonic int32 sort key:
+    the bf16 distance's bit pattern (non-negative bf16 orders
+    identically to its value) in the high 16 bits, and a tie-break in
+    the low 16: clamped ‖Δ‖² then the (Δy, Δx, Δz) digits. Flat
+    regions tie every candidate at the same bf16 distance and the
+    group must then prefer near offsets or coverage collapses to a
+    window corner; packing the preference into the key makes each of
+    the K rounds a single vector min (the float formulation needed
+    min + masked argmin + remask — measured 7.45 ms/stage at 128³)
+    and the keys are unique per column, so exactly one entry retires
+    per round. Padded offset rows (c mod cchunk ≥ W²) are forced to
+    INT32_MAX (padded *columns* select garbage the caller crops).
+
+    Emits *unclipped absolute block starts* (z, y, x per selection):
+    the downstream gather wants start coordinates, and deriving them
+    here from the key's offset digits is free VPU work, while the XLA
+    formulation (``refs + offs[idx]``) was a measured 3.4 ms/stage
+    gather-add fusion over R·K×3 elements at 128³. Border clipping
+    stays in the caller (cheap, and keeps this kernel's output
+    comparable to the unclipped matching oracle).
     """
-    cp = W * cchunk
     half = W // 2
-    d = d2_ref[0]  # (Cp, ys, xs)
+    gi = pl.program_id(0)
+    j = pl.program_id(1)
+    d = d2_ref[0]  # (Cp, ys, xs) bf16
+    bits = jax.lax.bitcast_convert_type(d, jnp.uint16).astype(jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
-    pad_row = (iota % cchunk) >= W * W
-    dy = iota // cchunk - half
-    dx = (iota % cchunk) // W - half
-    dz = iota % W - half
-    norm2 = (dy * dy + dx * dx + dz * dz).astype(jnp.float32)
-    tie = 1e-6 * (
-        jnp.sum(d, axis=0, keepdims=True) / (W * W * W) + 1.0
+    # Row decode: c = Δy-chunk · cchunk + (Δx·W + Δz), cchunk NOT a
+    # multiple of W (it is sublane-padded) — reduce modulo cchunk
+    # FIRST (c % W alone would interleave Δy into Δz).
+    m = iota % cchunk
+    pad_row = m >= W * W
+    dy = iota // cchunk  # digits in [0, W)
+    dx = m // W
+    dz = m % W
+    norm2 = (
+        (dy - half) ** 2 + (dx - half) ** 2 + (dz - half) ** 2
     )
-    d = d + norm2 * tie
-    d = jnp.where(pad_row, jnp.float32(np.inf), d)
-    for j in range(K):
-        mn = jnp.min(d, axis=0, keepdims=True)
-        amin = jnp.min(
-            jnp.where(d == mn, iota, cp), axis=0, keepdims=True
-        )
-        out_ref[0, j: j + 1, :, :] = amin
-        d = jnp.where(iota == amin, jnp.float32(np.inf), d)
+    low = (
+        (jnp.minimum(norm2, 15) << 12) | (dy << 8) | (dx << 4) | dz
+    )
+    key = jnp.where(
+        pad_row, jnp.int32(np.iinfo(np.int32).max), (bits << 16) | low
+    )
+    shp = (1,) + d.shape[1:]
+    ybase = step * (j * yb + jax.lax.broadcasted_iota(jnp.int32, shp, 1))
+    xbase = step * jax.lax.broadcasted_iota(jnp.int32, shp, 2)
+    zbase = step * gi
+    for k in range(K):
+        mk = jnp.min(key, axis=0, keepdims=True)
+        sz_ref[0, k: k + 1, :, :] = zbase + (mk & 15) - half
+        sy_ref[0, k: k + 1, :, :] = ybase + ((mk >> 8) & 15) - half
+        sx_ref[0, k: k + 1, :, :] = xbase + ((mk >> 4) & 15) - half
+        key = jnp.where(key == mk, jnp.int32(np.iinfo(np.int32).max),
+                        key)
 
 
 @functools.partial(
@@ -153,14 +192,20 @@ def match_topk(guide, block=4, group=16, step=3, search=9,
                interpret=False):
     """Block matching on a (tail-regularized) guide volume.
 
-    Returns ``(idx, offs)``: ``idx`` (R, K) int32 indexes each
-    reference-grid block's K best window offsets into ``offs``
-    (Cp, 3) — the (Δz, Δy, Δx) table in the kernels' padded
-    (Δy-major) ordering. ``guide`` must already satisfy
-    (dim − block) % step == 0 per axis (callers pad; see bm4d_stage).
+    Returns ``(sz, sy, sx)``: three (R, K) int32 arrays of *unclipped*
+    absolute block starts — reference-grid start + the selected window
+    offset per group member (the caller clips to the in-bounds range;
+    see _select_kernel on why starts are emitted in-kernel). ``guide``
+    must already satisfy (dim − block) % step == 0 per axis (callers
+    pad; see bm4d_stage).
     """
     Z, Y, X = guide.shape
     B, K, W = block, group, search
+    if W > 15:
+        raise ValueError(
+            "pallas matcher packs window offsets into 4-bit key "
+            f"digits; search window {W} > 15 needs matcher='xla'"
+        )
     half = W // 2
     lead = step * -(-half // step)
     guide = guide.astype(jnp.float32)
@@ -171,15 +216,6 @@ def match_topk(guide, block=4, group=16, step=3, search=9,
     gxp = -(-gx // 128) * 128  # ref x columns, lane-padded
     cchunk = -(-(W * W) // 8) * 8  # offsets per Δy, sublane-padded
     cp = W * cchunk
-
-    # Offset table in kernel ordering: c = Δy-chunk · cchunk +
-    # (Δx·W + Δz); padded rows are never selected.
-    rng = np.arange(W, dtype=np.int32) - half
-    offs = np.zeros((cp, 3), np.int32)
-    for yi, dyv in enumerate(rng):
-        for xi, dxv in enumerate(rng):
-            for zi, dzv in enumerate(rng):
-                offs[yi * cchunk + xi * W + zi] = (dzv, dyv, dxv)
 
     # Kernel-visible guide: y/x reflect-padded by half; z padded by
     # (lead, trail) so the per-step slab views tile cleanly: slab gi =
@@ -192,14 +228,18 @@ def match_topk(guide, block=4, group=16, step=3, search=9,
     trail = zk - lead - Z
     if not (0 <= trail <= Z - 1 and lead <= Z - 1):
         raise ValueError(f"volume too small along z for matching: {Z}")
+    # Guide views stay f32: a bf16 guide would halve the VMEM slice
+    # traffic, but bf16's (16, 128) tiling makes the ±Δy sublane
+    # slices misaligned and the realignment cost exceeds the saving
+    # (measured 48 ms vs 36 ms for the whole matcher at 128³).
     gk = jnp.pad(
         guide, ((lead, trail), (half, half), (half, half)),
         mode="reflect",
     )
     yk, xk = Y + 2 * half, X + 2 * half
 
-    py = jnp.asarray(_band(gy, Y, B, step))
-    px = jnp.asarray(_band(gx, X, B, step))
+    py = jnp.asarray(_band(gy, Y, B, step), jnp.bfloat16)
+    px = jnp.asarray(_band(gx, X, B, step), jnp.bfloat16)
 
     view_specs = [
         pl.BlockSpec(
@@ -224,7 +264,8 @@ def match_topk(guide, block=4, group=16, step=3, search=9,
             _match_kernel, B=B, W=W, step=step, Y=Y, X=X, gy=gy,
             gx=gx, cchunk=cchunk, gyp=gyp, gxp=gxp,
         ),
-        out_shape=jax.ShapeDtypeStruct((gz, cp, gyp, gxp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gz, cp, gyp, gxp),
+                                       jnp.bfloat16),
         grid=(gz, W),
         in_specs=view_specs + tail_specs,
         out_specs=out_spec,
@@ -232,20 +273,26 @@ def match_topk(guide, block=4, group=16, step=3, search=9,
     )(*([gk] * nview), py, px)
 
     yb = 8
-    idx = pl.pallas_call(
-        functools.partial(_select_kernel, K=K, W=W, cchunk=cchunk),
-        out_shape=jax.ShapeDtypeStruct((gz, K, gyp, gxp), jnp.int32),
+    start_spec = pl.BlockSpec(
+        (1, K, yb, gxp), lambda gi, j: (gi, 0, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    starts = pl.pallas_call(
+        functools.partial(_select_kernel, K=K, W=W, cchunk=cchunk,
+                          step=step, yb=yb),
+        out_shape=[
+            jax.ShapeDtypeStruct((gz, K, gyp, gxp), jnp.int32)
+            for _ in range(3)
+        ],
         grid=(gz, gyp // yb),
         in_specs=[
             pl.BlockSpec((1, cp, yb, gxp), lambda gi, j: (gi, 0, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, K, yb, gxp), lambda gi, j: (gi, 0, j, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=[start_spec] * 3,
         interpret=interpret,
     )(d2)
-    idx = idx[:, :, :gy, :gx]  # (gz, K, gy, gx)
-    idx = jnp.moveaxis(idx, 1, 3).reshape(R, K)
-    return idx, jnp.asarray(offs)
+    return tuple(
+        jnp.moveaxis(s[:, :, :gy, :gx], 1, 3).reshape(R, K)
+        for s in starts
+    )

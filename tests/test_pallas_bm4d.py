@@ -29,7 +29,7 @@ def _naive_match(guide, block, group, step, search):
     xs = range(0, X - block + 1, step)
     rng = np.arange(search) - half
     offs = [(dz, dy, dx) for dy in rng for dx in rng for dz in rng]
-    idx_all = []
+    idx_all, d_all = [], []
     for z in zs:
         for y in ys:
             for x in xs:
@@ -48,7 +48,9 @@ def _naive_match(guide, block, group, step, search):
                      for dz, dy, dx in offs]
                 )
                 idx_all.append(np.argsort(d, kind="stable")[:group])
-    return np.asarray(idx_all), np.asarray(offs, np.int32)
+                d_all.append(d)
+    return np.asarray(idx_all), np.asarray(offs, np.int32), \
+        np.asarray(d_all)
 
 
 @pytest.mark.parametrize("shape", [(16, 16, 16), (19, 16, 13)])
@@ -62,22 +64,52 @@ def test_match_topk_vs_naive(shape):
         [(0, (-(d - B)) % step) for d in shape],
         mode="reflect",
     )
-    idx, offs = match_topk(
-        vol, block=B, group=8, step=step, search=5, interpret=True
+    sz, sy, sx = (
+        np.asarray(a)
+        for a in match_topk(
+            vol, block=B, group=8, step=step, search=5, interpret=True
+        )
     )
-    idx, offs = np.asarray(idx), np.asarray(offs)
-    nidx, noffs = _naive_match(vol, B, 8, step, 5)
-    assert idx.shape == nidx.shape
-    # Compare selected *offsets* (index tables are ordered differently).
-    got = offs[idx]
+    nidx, noffs, nd = _naive_match(vol, B, 8, step, 5)
+    assert sz.shape == nidx.shape
+    # Kernel emits absolute (unclipped) starts; recover offsets by
+    # subtracting the z-major reference grid and compare against the
+    # oracle's (index tables are ordered differently).
+    gz, gy, gx = ((d - B) // step + 1 for d in vol.shape)
+    refz, refy, refx = (
+        g.reshape(-1, 1) * step
+        for g in np.meshgrid(
+            np.arange(gz), np.arange(gy), np.arange(gx), indexing="ij"
+        )
+    )
+    got = np.stack([sz - refz, sy - refy, sx - refx], axis=-1)
     want = noffs[nidx]
-    # Random floats: ties are measure-zero, so the sets must agree;
-    # order may differ only through f32-vs-f64 rounding on near-ties,
-    # so compare as sorted tuples per reference.
-    for r in range(idx.shape[0]):
-        gs = sorted(map(tuple, got[r]))
-        ws = sorted(map(tuple, want[r]))
-        assert gs == ws, f"ref {r}: {gs} != {ws}"
+    # The kernel's sweep runs in bf16 end to end (guide views, diffs,
+    # band matmuls with f32 accumulate, table storage), so distances
+    # carry up to ~1.5 % relative rounding (three bf16 quantizations
+    # of 2⁻⁸ each) and near-tied candidates may swap with the f64
+    # oracle. A swap is only acceptable when the swapped-in offset's
+    # *oracle* distance is within that rounding band of the
+    # swapped-out one — grouping is indifferent to such near-ties,
+    # wrong selections (tens of % off) are not.
+    rtol = 2e-2
+    ooff = {tuple(o): c for c, o in enumerate(noffs)}
+    n_swap = 0
+    for r in range(sz.shape[0]):
+        gs = set(map(tuple, got[r]))
+        ws = set(map(tuple, want[r]))
+        if gs == ws:
+            continue
+        n_swap += 1
+        cut = max(nd[r][ooff[o]] for o in ws)  # worst accepted
+        for o in gs - ws:
+            do = nd[r][ooff[o]]
+            assert do <= cut * (1 + rtol) + 1e-9, (
+                f"ref {r}: selected {o} (d={do:.6g}) is not a "
+                f"near-tie of the oracle cut {cut:.6g}"
+            )
+    # Rounding may swap a modest tail of near-ties, never the bulk.
+    assert n_swap <= max(2, sz.shape[0] // 5), n_swap
 
 
 def test_stage_output_matches_xla_matcher():
@@ -108,6 +140,18 @@ def test_stage_output_matches_xla_matcher():
         )
     finally:
         pallas_bm4d.match_topk = orig
+    # Closeness of the two estimates: on this flat phantom every
+    # candidate is a statistical tie, so the bf16-sweep Pallas matcher
+    # and the f32 XLA matcher legitimately pick different (equally
+    # good) group members; both estimates must still agree to well
+    # under the σ=30 noise scale.
     rmse = float(np.sqrt(np.mean((a - b) ** 2)))
-    assert rmse < 1.0, rmse  # data scale ~500, noise sigma 30
-    assert np.mean(np.abs(a - b) > 1.0) < 0.05
+    assert rmse < 0.2 * 30.0, rmse
+    # On a flat+noise phantom every candidate is a statistical tie, so
+    # the matchers' bf16-vs-f32 distance rounding swaps many (equally
+    # good) group members; pin *denoising quality* equivalence instead
+    # of voxel-wise agreement: both must recover the constant-500
+    # truth equally well.
+    ra = float(np.sqrt(np.mean((a - 500.0) ** 2)))
+    rb = float(np.sqrt(np.mean((b - 500.0) ** 2)))
+    assert abs(ra - rb) < 0.05 * max(ra, rb), (ra, rb)
