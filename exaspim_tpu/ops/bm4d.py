@@ -315,75 +315,50 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
     # is the only arrangement that reliably survives. Out-of-chunk
     # updates are masked to an out-of-bounds row and dropped.
     w = wgt[:, None, None]
+    # Augment each value row with its scalar aggregation weight: the
+    # weight field then rides the SAME chunked row scatter (R·K rows)
+    # instead of a second R·K-scalar scatter, and the weight fold
+    # becomes the second output channel of the col2im conv below.
+    filt_rows = jnp.concatenate(
+        [
+            filt.reshape(-1, K, B * B * B) * w,
+            jnp.broadcast_to(w, (*sz.shape, 1)),
+        ],
+        axis=-1,
+    )
     rows_shape = (Z - B + 1, Y - B + 1, X - B + 1)
     rz, ry, rx = rows_shape
+    nrow = B * B * B + 1
+    nchunks = max(
+        1,
+        int(np.ceil(rz * ry * rx * nrow * 4 / _SCATTER_CHUNK_BYTES)),
+    )
+    zchunk = int(np.ceil(rz / nchunks))
     gyx = len(ys) * len(xs)
-
-    def scatter_rows(rows, nrow):
-        """Chunked row scatter of (R, K, nrow) → (rz, ry, rx, nrow)."""
-        nchunks = max(
-            1,
-            int(np.ceil(rz * ry * rx * nrow * 4
-                        / _SCATTER_CHUNK_BYTES)),
-        )
-        zchunk = int(np.ceil(rz / nchunks))
-        parts = []
-        for ci in range(nchunks):
-            z0 = ci * zchunk
-            zc = min(zchunk, rz - z0)
-            if zc <= 0:  # rounding can over-provision trailing chunks
-                break
-            # References are z-major, and a reference's members land
-            # within ``half`` planes of it, so each chunk's
-            # contributing updates are a contiguous static ref-row
-            # slice — no need to stream all R·K updates through every
-            # chunk's scatter.
-            g0 = max(0, (z0 - half) // step)
-            g1 = min(len(zs), (z0 + zc + half) // step + 1)
-            rs = slice(g0 * gyx, g1 * gyx)
-            in_chunk = (sz[rs] >= z0) & (sz[rs] < z0 + zc)
-            # zc is OOB → dropped
-            zi = jnp.where(in_chunk, sz[rs] - z0, zc)
-            acc_c = jnp.zeros((zc, ry, rx, nrow), jnp.float32)
-            parts.append(
-                acc_c.at[zi, sy[rs], sx[rs]].add(
-                    rows[rs], mode="drop", unique_indices=False
-                )
+    parts = []
+    for ci in range(nchunks):
+        z0 = ci * zchunk
+        zc = min(zchunk, rz - z0)
+        if zc <= 0:  # rounding can over-provision trailing chunks
+            break
+        # References are z-major, and a reference's members land within
+        # ``half`` planes of it, so each chunk's contributing updates
+        # are a contiguous static ref-row slice — no need to stream all
+        # R·K updates through every chunk's scatter.
+        g0 = max(0, (z0 - half) // step)
+        g1 = min(len(zs), (z0 + zc + half) // step + 1)
+        rs = slice(g0 * gyx, g1 * gyx)
+        in_chunk = (sz[rs] >= z0) & (sz[rs] < z0 + zc)
+        zi = jnp.where(in_chunk, sz[rs] - z0, zc)  # zc is OOB → dropped
+        acc_c = jnp.zeros((zc, ry, rx, nrow), jnp.float32)
+        parts.append(
+            acc_c.at[zi, sy[rs], sx[rs]].add(
+                filt_rows[rs], mode="drop", unique_indices=False
             )
-        return parts[0] if len(parts) == 1 else jnp.concatenate(
-            parts, axis=0
         )
-
-    if agg == "conv":
-        # Augment each value row with its scalar aggregation weight:
-        # the weight field then rides the SAME chunked row scatter
-        # (R·K rows) instead of a second R·K-scalar scatter, and the
-        # weight fold becomes the second output channel of the col2im
-        # conv below.
-        filt_rows = jnp.concatenate(
-            [
-                filt.reshape(-1, K, B * B * B) * w,
-                jnp.broadcast_to(w, (*sz.shape, 1)),
-            ],
-            axis=-1,
-        )
-        acc_rows = scatter_rows(filt_rows, B * B * B + 1)
-    else:
-        # Values-only rows: exactly B³ = 64 lanes. A 65th weight lane
-        # pushes the physical minor dim to the next 128-lane tile —
-        # the scatter, the pad, and the fold then all move ~2× their
-        # logical bytes. The weight field instead comes from
-        # _weight_field below: every member start is ref + d with
-        # d ∈ [−half, half]³ even after border clipping, so the
-        # scalar weight accumulation decomposes over the (2·half+1)³
-        # offsets into static strided slice-adds on the reference
-        # grid — no second scatter.
-        acc_rows = scatter_rows(filt.reshape(-1, K, B * B * B) * w,
-                                B * B * B)
-        wfield = _weight_field(
-            sz, sy, sx, wgt, refs, (len(zs), len(ys), len(xs)),
-            rows_shape, half, step,
-        )
+    acc_rows = (
+        parts[0] if nchunks == 1 else jnp.concatenate(parts, axis=0)
+    )
 
     # Fold rows back to voxel space: out[v] = Σ_δ rows[v − δ, flat(δ)].
     if agg == "conv":
@@ -403,8 +378,7 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
         # MXU tile width — and measured ~4× slower than its own HBM
         # traffic bound; the slice fold is pure VPU adds and reads each
         # accumulator element once. The weight fold is mathematically a
-        # B-box sum of the start-resolution weight field, done
-        # separably.
+        # B-box sum of the weight channel, done separably.
         padded = jnp.pad(acc_rows, [(B - 1, B - 1)] * 3 + [(0, 0)])
         accum = jnp.zeros((Z, Y, X), jnp.float32)
         for dz in range(B):
@@ -418,7 +392,7 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
                          flat + 1),
                     )
                     accum = accum + win[..., 0]
-        wpad = jnp.pad(wfield, [(B - 1, B - 1)] * 3)
+        wpad = padded[..., nrow - 1]
         for axis in range(3):
             window = [1, 1, 1]
             window[axis] = B
@@ -428,82 +402,6 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
             )
         weight = wpad
     return (accum / (weight + 1e-12))[:Z0, :Y0, :X0]
-
-
-def _weight_field(sz, sy, sx, wgt, refs, gdims, rows_shape, half, step):
-    """Start-resolution aggregation-weight field without a scatter.
-
-    Computes ``wf[v] = Σ_{r,k: start(r,k) = v} wgt[r]`` over the
-    (rz, ry, rx) block-start grid. Every selected start sits within
-    ``half`` voxels of its reference-grid start — border clipping only
-    pulls offsets further in — so the sum decomposes over the
-    W³ = (2·half+1)³ relative offsets ``d``:
-
-    1. bucket the per-member weights by offset on the reference grid
-       (``s[G, d] = Σ_k wgt[G] · [start − ref = d]``, one fused
-       one-hot reduction);
-    2. for each voxel residue class ρ = d mod step, the sub-lattice
-       field is a sum of ≤ ⌈W/step⌉ statically shifted copies of the
-       matching ``s[..., d]`` grids per axis — pure static pads/adds;
-    3. interleave the step³ residue grids back to voxel resolution
-       (one small relayout).
-
-    This replaces the former 65th "weight lane" on the aggregation
-    row scatter, which pushed the scatter operand's minor dim past the
-    64-lane boundary (physically padded to 128 → ~2× scatter/pad/fold
-    traffic at B = 4).
-    """
-    gz, gy, gx = gdims
-    rz, ry, rx = rows_shape
-    W = 2 * half + 1
-    # Per-axis relative offsets in [-half, half] by construction.
-    dz = sz - refs[:, 0][:, None] + half
-    dy = sy - refs[:, 1][:, None] + half
-    dx = sx - refs[:, 2][:, None] + half
-    dflat = (dz * W + dy) * W + dx  # (R, K) in [0, W³)
-    oh = (dflat[..., None] == jnp.arange(W * W * W)).astype(jnp.float32)
-    s = oh.sum(axis=1) * wgt[:, None]  # (R, W³)
-    s = s.reshape(gz, gy, gx, W * W * W)
-
-    # Residue-class fold. For axis offset d = step·q + ρ (ρ = d mod
-    # step), a member at ref-grid index G lands on sub-lattice index
-    # H = G + q; q spans qlo..qhi. Accumulate each class on an
-    # H-grid padded by (-qlo, qhi) then interleave.
-    qlo = (-half - (-half) % step) // step  # floor(-half/step)
-    qhi = half // step
-    nq = qhi - qlo + 1
-    # Per (ρ, q) the axis offset; valid iff |d| <= half.
-    cls = {}
-    for d in range(-half, half + 1):
-        rho = d % step
-        q = (d - rho) // step
-        cls.setdefault(rho, []).append((q, d))
-    hz, hy, hx = (g + nq - 1 for g in (gz, gy, gx))
-    fields = []
-    for rz_ in range(step):
-        for ry_ in range(step):
-            for rx_ in range(step):
-                acc = jnp.zeros((hz, hy, hx), jnp.float32)
-                for (qz, dz_) in cls.get(rz_, ()):
-                    for (qy, dy_) in cls.get(ry_, ()):
-                        for (qx, dx_) in cls.get(rx_, ()):
-                            flat = (
-                                (dz_ + half) * W + (dy_ + half)
-                            ) * W + (dx_ + half)
-                            pads = [
-                                (q - qlo, qhi - q)
-                                for q in (qz, qy, qx)
-                            ]
-                            acc = acc + jnp.pad(s[..., flat], pads)
-                fields.append(acc)
-    # Interleave: sub-lattice element (H, ρ) is voxel
-    # step·(H + qlo) + ρ. Stack → (step³, hz, hy, hx) → voxel grid.
-    arr = jnp.stack(fields).reshape(step, step, step, hz, hy, hx)
-    arr = arr.transpose(3, 0, 4, 1, 5, 2).reshape(
-        step * hz, step * hy, step * hx
-    )
-    off = -step * qlo  # voxel 0 sits at interleaved index off
-    return arr[off: off + rz, off: off + ry, off: off + rx]
 
 
 def bm4d_batch(vols, sigma, block=4, group=16, step=3, search=9,
