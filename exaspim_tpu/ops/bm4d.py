@@ -96,6 +96,10 @@ def _patch_kernel_np(b, c):
     channel order, so the Wiener stage can extract noisy+guide rows in
     ONE conv and gather both with ONE 2·B³-lane row gather (two
     half-width gathers were ~2× the HBM random-access cost).
+
+    The production path composes the 3D DCT into this kernel
+    (:func:`_patch_dct_kernel_np`); the raw one-hot form remains as
+    the factorization oracle for tests.
     """
     n = b * b * b
     kern = np.zeros((b, b, b, c, c * n), np.float32)
@@ -105,6 +109,42 @@ def _patch_kernel_np(b, c):
                 flat = (dz * b + dy) * b + dx
                 for ci in range(c):
                     kern[dz, dy, dx, ci, ci * n + flat] = 1.0
+    return kern
+
+
+@functools.lru_cache(maxsize=None)
+def _kron3_matrix_np(b):
+    """3D block DCT as one (B³, B³) matrix (row-major flat blocks)."""
+    mb = _dct_matrix_np(b)
+    return np.kron(np.kron(mb, mb), mb)
+
+
+@functools.lru_cache(maxsize=None)
+def _patch_dct_kernel_np(b, c):
+    """DCT-emitting patch kernel (B, B, B, C, C·B³).
+
+    Composes the 3D block DCT into the patch-extraction conv: output
+    channel ci·B³ + j is the j-th 3D-DCT coefficient of input channel
+    ci's block at the output position. The conv's cost is unchanged
+    (same shape, the kernel just stops being one-hot), and the full 4D
+    group transform then factors as this conv followed by a tiny
+    (K, K) contraction along the group axis after the gather — ~60×
+    fewer GEMM FLOPs than the dense (K·B³)² Kronecker matrix, because
+    the B³×B³ half runs once per *table row* instead of once per
+    *gathered group member*, fused into a conv that was already being
+    paid for.
+    """
+    m3 = _kron3_matrix_np(b)  # (j, flat(δ))
+    n = b * b * b
+    kern = np.zeros((b, b, b, c, c * n), np.float32)
+    for dz in range(b):
+        for dy in range(b):
+            for dx in range(b):
+                flat = (dz * b + dy) * b + dx
+                for ci in range(c):
+                    kern[dz, dy, dx, ci, ci * n: (ci + 1) * n] = (
+                        m3[:, flat]
+                    )
     return kern
 
 
@@ -256,10 +296,10 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
         )
         sz, sy, sx = sel[..., 0], sel[..., 1], sel[..., 2]
 
-    # Row-major block view: rows[z, y, x, ci·B³ + flat(δ)] is channel
-    # ci's flattened B³ block starting at (z, y, x) — one
-    # patch-extraction conv (explicit one-hot kernel, see
-    # _patch_kernel_np), so the group gather below moves whole
+    # Row-major block view: rows[z, y, x, ci·B³ + j] is the j-th
+    # 3D-DCT coefficient of channel ci's B³ block starting at
+    # (z, y, x) — one patch-extraction conv (DCT-emitting kernel, see
+    # _patch_dct_kernel_np), so the group gather below moves whole
     # C·B³-element rows instead of scalars (XLA scalar gathers
     # serialize on TPU, and an unrolled B³-slice stack would blow up
     # compile time). The Wiener stage extracts noisy and guide
@@ -270,38 +310,43 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
         c = len(vols)
         stacked = jnp.stack(vols, axis=-1)[None]  # (1, Z, Y, X, C)
         return jax.lax.conv_general_dilated(
-            stacked, jnp.asarray(_patch_kernel_np(B, c)),
+            stacked, jnp.asarray(_patch_dct_kernel_np(B, c)),
             window_strides=(1, 1, 1), padding="VALID",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )[0]  # (Z-B+1, Y-B+1, X-B+1, C·B³)
+        )[0]  # (Z-B+1, Y-B+1, X-B+1, C·B³) — rows in 3D-DCT space
 
+    # Factored 4D transform (see _patch_dct_kernel_np): the table rows
+    # above already carry each block's 3D DCT, so the remaining group
+    # transform is a (K, K) contraction along the member axis — the
+    # dense (K·B³)² Kronecker GEMM ran ~167 GFLOP/direction per stage
+    # at 128³ where this factorization needs ~3 GFLOP plus one
+    # (R·K, B³)(B³, B³) inverse-DCT GEMM before aggregation.
     nb3 = B * B * B
-    m4 = jnp.asarray(_dct4_matrix_np(K, B))
+    mk = jnp.asarray(_dct_matrix_np(K))
+    m3 = jnp.asarray(_kron3_matrix_np(B))
 
     if mode == "hard":
         rows = block_rows([noisy])
-        ngroups = rows[sz, sy, sx].reshape(-1, K * nb3)
-        # Whole 4D transform as one (R, K·B³) @ (K·B³, K·B³) GEMM (see
-        # _dct4_matrix_np). Row-vector convention: coef = g @ M4ᵀ,
-        # inverse g = coef @ M4 (orthonormal).
-        coef_n = ngroups @ m4.T
+        g = rows[sz, sy, sx]  # (R, K, B³) DCT-space rows
+        coef_n = jnp.einsum("lk,rkb->rlb", mk, g)
         thr = 2.7 * sigma
         keep = jnp.abs(coef_n) > thr
         coef = jnp.where(keep, coef_n, 0.0)
-        nretained = jnp.sum(keep, axis=1).astype(jnp.float32)
+        nretained = jnp.sum(keep, axis=(1, 2)).astype(jnp.float32)
         wgt = 1.0 / (1.0 + nretained)  # (R,)
     else:
         rows = block_rows([noisy, guide])
         both = rows[sz, sy, sx].reshape(-1, K, 2, nb3)
-        ngroups = both[:, :, 0].reshape(-1, K * nb3)
-        ggroups = both[:, :, 1].reshape(-1, K * nb3)
-        coef_n = ngroups @ m4.T
-        coef_g = ggroups @ m4.T
+        coef_n = jnp.einsum("lk,rkb->rlb", mk, both[:, :, 0])
+        coef_g = jnp.einsum("lk,rkb->rlb", mk, both[:, :, 1])
         shrink = coef_g**2 / (coef_g**2 + sigma**2 + 1e-12)
         coef = coef_n * shrink
-        wgt = 1.0 / (1e-8 + jnp.sum(shrink**2, axis=1))
+        wgt = 1.0 / (1e-8 + jnp.sum(shrink**2, axis=(1, 2)))
 
-    filt = coef @ m4  # (R, K·B³)
+    # Inverse: K-axis inverse (orthonormal ⇒ transpose contraction),
+    # then one per-row inverse 3D DCT GEMM back to voxel space.
+    filt_k = jnp.einsum("lk,rlb->rkb", mk, coef)
+    filt = (filt_k.reshape(-1, nb3) @ m3).reshape(-1, K * nb3)
 
     # Overlap-add aggregation: scatter weighted block-rows onto the
     # start-indexed row accumulator (row scatter, not scalar scatter).

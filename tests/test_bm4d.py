@@ -166,3 +166,55 @@ def test_col2im_conv_matches_shifted_add():
     )[0, ..., 0]
     np.testing.assert_allclose(np.asarray(conv), naive, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_factored_dct_matches_dense_kronecker():
+    """The DCT-emitting patch conv + (K, K) group contraction must
+    reproduce the dense (K*B^3)^2 Kronecker GEMM path exactly: the
+    production transform is the factored form; the dense matrix is the
+    oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from exaspim_tpu.ops.bm4d import (
+        _dct4_matrix_np,
+        _dct_matrix_np,
+        _patch_dct_kernel_np,
+        _patch_kernel_np,
+    )
+
+    B, K = 4, 6
+    rng = np.random.default_rng(5)
+    vol = rng.normal(100.0, 20.0, (10, 11, 12)).astype(np.float32)
+
+    def rows_of(kern):
+        return jax.lax.conv_general_dilated(
+            jnp.asarray(vol)[None, ..., None], jnp.asarray(kern),
+            window_strides=(1, 1, 1), padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )[0]
+
+    raw = np.asarray(rows_of(_patch_kernel_np(B, 1)))
+    dct = np.asarray(rows_of(_patch_dct_kernel_np(B, 1)))
+
+    # Fake groups: K arbitrary row positions per reference.
+    rz, ry, rx, _ = raw.shape
+    idx = rng.integers(0, rz * ry * rx, size=(7, K))
+    g_raw = raw.reshape(-1, B ** 3)[idx]  # (7, K, B^3)
+    g_dct = dct.reshape(-1, B ** 3)[idx]
+
+    m4 = _dct4_matrix_np(K, B)
+    dense = (g_raw.reshape(7, -1) @ m4.T).reshape(7, K, B ** 3)
+    mk = _dct_matrix_np(K)
+    fact = np.einsum("lk,rkb->rlb", mk, g_dct)
+    np.testing.assert_allclose(fact, dense, rtol=1e-4, atol=1e-3)
+
+    # Inverse chain: K-transpose contraction then row @ m3 returns the
+    # spatial rows.
+    from exaspim_tpu.ops.bm4d import _kron3_matrix_np
+
+    back_k = np.einsum("lk,rlb->rkb", mk, fact)
+    back = back_k.reshape(-1, B ** 3) @ _kron3_matrix_np(B)
+    np.testing.assert_allclose(
+        back.reshape(7, K, B ** 3), g_raw, rtol=1e-4, atol=1e-3
+    )
