@@ -1,8 +1,16 @@
 """Headline benchmark: BM4DNet tiled-inference voxels/sec/chip on a 256³
 uint16 block (BASELINE.json config 3), with REAL quality guards.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "voxels/sec/chip", "vs_baseline": N}
+Prints one or more JSON lines — the LAST line is always the most complete
+record. The headline timing line is flushed the moment the device timing
+loop finishes; quality, training-throughput, and classical-BM4D secondaries
+each run under their own SIGALRM deadline afterward and re-emit the full
+(cumulative) record. A driver timeout mid-secondaries therefore still
+leaves the headline evidence on stdout (round 3 lost its entire artifact
+to a single buffered print; this layout cannot).
+
+``# phase: ...`` comment lines mark where wall time went so a truncated
+tail is diagnosable.
 
 The model is the TRAINED checkpoint committed at
 ``checkpoints/bm4dnet.msgpack`` (teacher-supervised on BM4D targets, see
@@ -11,9 +19,13 @@ phantom, and the guards fail (quality_ok=false + exit 1) if the model
 stops denoising:
 
 * ``cratio_gain``  — blosc-zstd chunk ratio of denoised / noisy (must
-  be ≥ 1.3; an identity model scores ~1.0),
+  be ≥ 1.8; an identity model scores ~1.0, the shipped ckpt ~1.97),
 * ``ssim_denoised`` — SSIM vs the clean phantom must improve over the
   noisy input (an identity model ties, a degrading model fails).
+
+If the quality phase itself times out, ``quality_ok`` is null and the
+bench exits 0 — a missing measurement is reported as missing, not as a
+failure of the model.
 
 PSNR vs clean is reported unguarded: the teacher-supervised objective
 optimizes compression-at-fidelity (foreground MAE + background cleanup,
@@ -30,6 +42,7 @@ cache is absent.
 
 import json
 import os
+import signal
 import time
 
 import numpy as np
@@ -49,7 +62,47 @@ PATCH, OVERLAP, TRIM, BATCH = 64, 12, 5, 32
 CKPT = os.path.join(os.path.dirname(__file__), "checkpoints",
                     "bm4dnet.msgpack")
 
-MIN_CRATIO_GAIN = 1.3
+# The shipped checkpoint scores ~1.97; the guard sits close below it so a
+# quality regression actually trips (an identity model scores ~1.0).
+MIN_CRATIO_GAIN = 1.8
+
+_T0 = time.time()
+
+
+def _phase(name):
+    print(f"# phase: {name} t={time.time() - _T0:.0f}s", flush=True)
+
+
+def _emit(record):
+    print(json.dumps(record), flush=True)
+
+
+class _PhaseTimeout(Exception):
+    pass
+
+
+def _run_phase(name, seconds, fn):
+    """Run ``fn`` under a SIGALRM deadline; return (result, error|None).
+
+    A timed-out or crashed secondary must never take the already-emitted
+    headline with it — errors are returned, not raised.
+    """
+    _phase(f"{name} (deadline {seconds:.0f}s)")
+
+    def _handler(signum, frame):
+        raise _PhaseTimeout()
+
+    old = signal.signal(signal.SIGALRM, _handler)
+    signal.alarm(max(1, int(seconds)))
+    try:
+        return fn(), None
+    except _PhaseTimeout:
+        return None, "timeout"
+    except Exception as e:  # noqa: BLE001 — secondary phases are best-effort
+        return None, f"{type(e).__name__}: {e}"
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def _baseline():
@@ -104,19 +157,21 @@ def _wait_for_backend(max_wait_s):
 
 
 def main():
+    budget = float(os.environ.get("EXASPIM_BENCH_BUDGET", 2700))
     if not _wait_for_backend(
-        float(os.environ.get("EXASPIM_BENCH_WAIT", 2400))
+        float(os.environ.get("EXASPIM_BENCH_WAIT", 1500))
     ):
         # Emit a parseable artifact documenting the outage instead of
         # a traceback from the first jax op.
-        print(json.dumps({
+        _emit({
             "metric": "bm4dnet_tiled_inference_256c_uint16",
             "value": 0.0,
             "unit": "voxels/sec/chip",
             "vs_baseline": 0.0,
             "error": "device backend unavailable after bounded wait",
-        }))
+        })
         raise SystemExit(1)
+    _phase("backend ok; importing jax")
     import jax
 
     # Persistent compile cache: the tiled program takes minutes to build
@@ -132,10 +187,8 @@ def main():
         pass
     import jax.numpy as jnp
 
-    from exaspim_tpu.compression import best_codec, compute_cratio
     from exaspim_tpu.data.synthetic import neurite_phantom, noisy_observation
     from exaspim_tpu.inference import predict
-    from exaspim_tpu.ops.ssim import psnr, ssim3d
 
     clean, _ = neurite_phantom((BLOCK, BLOCK, BLOCK), n_tubes=24, seed=0)
     img = noisy_observation(clean, seed=1)
@@ -185,6 +238,7 @@ def main():
     # Warm-up: compile. If the blocked Pallas path fails to build on
     # this toolchain (Mosaic versions differ across environments), fall
     # back to the XLA conv path — a slower headline beats a red bench.
+    _phase("warm-up compile (tiled inference program)")
     try:
         out = predict(img, model, params, transform, **kwargs)
     except Exception as e:  # noqa: BLE001 — robustness of the artifact
@@ -198,6 +252,7 @@ def main():
         )
         out = predict(img, model, params, transform, **kwargs)
     # Single-block latency (includes host↔device transfers).
+    _phase("timing: single-block latency")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -211,6 +266,7 @@ def main():
     # blocks back to back.
     from exaspim_tpu.inference import build_tiled_program
 
+    _phase("timing: pipelined blocks")
     blocks = [img, noisy_observation(clean, seed=7)]
     program, starts = build_tiled_program(
         model, transform, img.shape, inf_patch, OVERLAP, TRIM, inf_batch
@@ -232,6 +288,7 @@ def main():
     # and vary run to run. A device-side scalar fetch per block forces
     # the computation honestly (block_until_ready alone does not, see
     # timing notes in RESULTS.md).
+    _phase("timing: device-resident blocks")
     checksum = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
     dimg = jax.device_put(jnp.asarray(img))
     float(checksum(program(params, dimg, dstarts)))
@@ -243,31 +300,79 @@ def main():
     dt = min(latency, pipelined, device_dt)
     voxsec = img.size / dt
 
-    # --- Quality (not timed): real denoising evidence on the phantom.
-    codec = best_codec(clevel=6)
-    cr_noisy = compute_cratio(img, codec)
-    cr_denoised = compute_cratio(out, codec)
-    cratio_gain = cr_denoised / cr_noisy
-    drange = float(clean.max())
-    psnr_noisy = float(psnr(img.astype(np.float32), clean, drange))
-    psnr_den = float(psnr(out.astype(np.float32), clean, drange))
-    ssim_noisy = float(ssim3d(
-        img.astype(np.float32), clean, data_range=drange
-    ))
-    ssim_den = float(ssim3d(
-        out.astype(np.float32), clean, data_range=drange
-    ))
+    baseline, baseline_threads = _baseline()
+    extrap = max(1, EXTRAPOLATED_BASELINE_THREADS // max(1, baseline_threads))
+    record = {
+        "metric": "bm4dnet_tiled_inference_256c_uint16",
+        "value": round(voxsec, 1),
+        "unit": "voxels/sec/chip",
+        "vs_baseline": round(voxsec / baseline, 2),
+        "baseline_threads": baseline_threads,
+        "host_cpus": os.cpu_count(),
+        "vs_baseline_16thread_extrapolated": round(
+            voxsec / (baseline * extrap), 2
+        ),
+        "block": [BLOCK] * 3,
+        "patch": inf_patch,
+        "overlap": OVERLAP,
+        "trim": TRIM,
+        "batch": inf_batch,
+        "seconds_per_block": round(dt, 4),
+        "latency_s": round(latency, 4),
+        "pipelined_s": round(pipelined, 4),
+        "device_s": round(device_dt, 4),
+        "trained_checkpoint": trained,
+        "conv_path": blocked,
+        "quality_ok": None,
+        "n_devices": len(jax.devices()),
+    }
+    # The headline is now evidence on stdout no matter what happens below.
+    _emit(record)
 
-    quality_ok = (
-        cratio_gain >= MIN_CRATIO_GAIN and ssim_den >= ssim_noisy
-    ) if trained else False
+    def _remaining():
+        return budget - (time.time() - _T0)
+
+    # --- Quality (not timed): real denoising evidence on the phantom.
+    def _quality():
+        from exaspim_tpu.compression import best_codec, compute_cratio
+        from exaspim_tpu.ops.ssim import psnr, ssim3d
+
+        codec = best_codec(clevel=6)
+        cr_noisy = compute_cratio(img, codec)
+        cr_denoised = compute_cratio(out, codec)
+        drange = float(clean.max())
+        return {
+            "cratio_noisy": cr_noisy,
+            "cratio_denoised": cr_denoised,
+            "cratio_gain": round(cr_denoised / cr_noisy, 3),
+            "psnr_noisy_db": round(
+                float(psnr(img.astype(np.float32), clean, drange)), 2),
+            "psnr_denoised_db": round(
+                float(psnr(out.astype(np.float32), clean, drange)), 2),
+            "ssim_noisy": round(float(ssim3d(
+                img.astype(np.float32), clean, data_range=drange)), 4),
+            "ssim_denoised": round(float(ssim3d(
+                out.astype(np.float32), clean, data_range=drange)), 4),
+        }
+
+    q, q_err = _run_phase("quality", min(600, max(60, _remaining())),
+                          _quality)
+    if q is not None:
+        record.update(q)
+        record["psnr_gain_db"] = round(
+            record["psnr_denoised_db"] - record["psnr_noisy_db"], 2)
+        record["quality_ok"] = bool(
+            record["cratio_gain"] >= MIN_CRATIO_GAIN
+            and record["ssim_denoised"] >= record["ssim_noisy"]
+        ) if trained else False
+    else:
+        record["quality_error"] = q_err
+    _emit(record)
 
     # --- Secondary: training throughput (voxels/sec through one jitted
     # train step, batch 32 × 64³, blocked Pallas conv path — the
     # training default since the rolling-z dL/dW kernel landed).
-    # Best-effort: skipped rather than failing the bench.
-    train_voxsec = None
-    try:
+    def _train_throughput():
         from exaspim_tpu.models import UNet as _UNet
         from exaspim_tpu.train import create_train_state
         from exaspim_tpu.train.state import make_train_step
@@ -301,14 +406,23 @@ def main():
         t0 = time.perf_counter()
         float(_chain(tstate, xb, xb * 0.9, fgb))
         step_s = (time.perf_counter() - t0) / 8
-        train_voxsec = BATCH * PATCH ** 3 / step_s
-    except Exception:  # noqa: BLE001 — secondary metric only
-        pass
+        return BATCH * PATCH ** 3 / step_s
+
+    if _remaining() > 90:
+        tv, t_err = _run_phase(
+            "train throughput", min(600, _remaining() - 30),
+            _train_throughput)
+        record["train_voxels_per_sec"] = round(tv, 1) if tv else None
+        if t_err:
+            record["train_error"] = t_err
+        _emit(record)
+    else:
+        record["train_voxels_per_sec"] = None
+        record["train_error"] = "budget exhausted"
 
     # Secondary: classical BM4D throughput (teacher generation /
     # unsupervised-eval GT path; Pallas matcher on TPU). Best-effort.
-    bm4d_voxsec = None
-    try:
+    def _bm4d_throughput():
         from exaspim_tpu.ops.bm4d import bm4d as _bm4d
 
         bvol = jnp.asarray(
@@ -327,51 +441,22 @@ def main():
         t0 = time.perf_counter()
         outs = [_bm4d(bvol, 24.0) for _ in range(nrep)]
         np.asarray(jnp.stack([o[0, 0, 0] for o in outs]))
-        bm4d_voxsec = nrep * 128 ** 3 / (time.perf_counter() - t0)
-    except Exception:  # noqa: BLE001 — secondary metric only
-        pass
+        return nrep * 128 ** 3 / (time.perf_counter() - t0)
 
-    baseline, baseline_threads = _baseline()
-    extrap = max(1, EXTRAPOLATED_BASELINE_THREADS // max(1, baseline_threads))
-    print(json.dumps({
-        "metric": "bm4dnet_tiled_inference_256c_uint16",
-        "value": round(voxsec, 1),
-        "unit": "voxels/sec/chip",
-        "vs_baseline": round(voxsec / baseline, 2),
-        "baseline_threads": baseline_threads,
-        "host_cpus": os.cpu_count(),
-        "vs_baseline_16thread_extrapolated": round(
-            voxsec / (baseline * extrap), 2
-        ),
-        "block": [BLOCK] * 3,
-        "patch": inf_patch,
-        "overlap": OVERLAP,
-        "trim": TRIM,
-        "batch": inf_batch,
-        "seconds_per_block": round(dt, 4),
-        "latency_s": round(latency, 4),
-        "pipelined_s": round(pipelined, 4),
-        "device_s": round(device_dt, 4),
-        "trained_checkpoint": trained,
-        "conv_path": blocked,
-        "cratio_noisy": cr_noisy,
-        "cratio_denoised": cr_denoised,
-        "cratio_gain": round(cratio_gain, 3),
-        "psnr_noisy_db": round(psnr_noisy, 2),
-        "psnr_denoised_db": round(psnr_den, 2),
-        "psnr_gain_db": round(psnr_den - psnr_noisy, 2),
-        "ssim_noisy": round(ssim_noisy, 4),
-        "ssim_denoised": round(ssim_den, 4),
-        "quality_ok": quality_ok,
-        "train_voxels_per_sec": (
-            round(train_voxsec, 1) if train_voxsec else None
-        ),
-        "bm4d_voxels_per_sec": (
-            round(bm4d_voxsec, 1) if bm4d_voxsec else None
-        ),
-        "n_devices": len(jax.devices()),
-    }))
-    if trained and not quality_ok:
+    if _remaining() > 90:
+        bv, b_err = _run_phase(
+            "bm4d throughput", min(600, _remaining() - 30),
+            _bm4d_throughput)
+        record["bm4d_voxels_per_sec"] = round(bv, 1) if bv else None
+        if b_err:
+            record["bm4d_error"] = b_err
+        _emit(record)
+    else:
+        record["bm4d_voxels_per_sec"] = None
+        record["bm4d_error"] = "budget exhausted"
+        _emit(record)
+
+    if trained and record["quality_ok"] is False:
         raise SystemExit(1)
 
 

@@ -150,6 +150,10 @@ def cratio_proxy(img_u16, chunk=64, use_pallas=None):
     """
     img = jnp.asarray(img_u16).astype(jnp.uint16)
     Z, Y, X = img.shape
+    # Volumes smaller than the chunk along any axis (e.g. 16³ val
+    # patches) shrink the chunk to fit — mirrors the exact metric,
+    # whose blosc call just compresses the whole small volume.
+    chunk = min(chunk, Z, Y, X)
     nz, ny, nx = (max(d // chunk, 1) for d in (Z, Y, X))
     img = img[: nz * chunk, : ny * chunk, : nx * chunk]
     chunks = (

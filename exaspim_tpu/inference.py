@@ -45,6 +45,7 @@ __all__ = [
     "generate_patch_starts",
     "count_patches",
     "plan_tiling",
+    "plan_stream_cores",
     "build_tiled_program",
     "build_volume_transform",
 ]
@@ -412,36 +413,74 @@ def build_tiled_program(model, transform, shape, patch_size=64,
     return program, starts
 
 
+def plan_stream_cores(shape, patch_size, overlap, max_device_voxels):
+    """Per-axis core sizes (cz, cy, cx) for halo'd super-tile streaming.
+
+    Full-axis cores are preferred (fewer halos); when the halo'd block
+    would exceed ``max_device_voxels`` the z axis is split first (slab
+    streaming, matching sequential Zarr chunk order), then y, then x —
+    so volumes whose single y/x plane is larger than the budget still
+    stream (the reference instead requires the whole crop in RAM,
+    reference inference.py:79-81). Core sizes shrink in ``stride``
+    decrements so tile grids stay aligned with the global patch grid.
+    """
+    halo = patch_size
+    stride = patch_size - overlap
+
+    def ext(core, dim):
+        # Worst-case halo'd block extent: halo both sides plus up to
+        # stride-1 voxels of low-edge grid alignment.
+        return dim if core >= dim else min(dim, core + 2 * halo + stride)
+
+    cores = list(shape)
+    for ax in range(3):
+        while (
+            ext(cores[0], shape[0])
+            * ext(cores[1], shape[1])
+            * ext(cores[2], shape[2]) > max_device_voxels
+            and cores[ax] > patch_size
+        ):
+            cores[ax] = max(patch_size, cores[ax] - stride)
+    return tuple(cores)
+
+
 def _predict_streaming(img, model, params, transform, patch_size, overlap,
                        trim, batch_size, max_device_voxels, return_float,
                        output_clip=None):
     """Stream super-tiles with a patch-wide halo for huge volumes.
 
-    Each super-tile is denoised independently with a ``>= patch_size``
-    halo on interior faces, and the tile's low edge is aligned to the
-    global stride grid, so the tile-local patch grid coincides with the
+    Tiles all three axes (:func:`plan_stream_cores`): each super-tile is
+    denoised independently with a ``>= patch_size`` halo on interior
+    faces, and every tile's low edge is aligned to the global stride
+    grid per axis, so the tile-local patch grid coincides with the
     single-pass grid wherever it can touch the core — every core voxel
-    sees exactly the overlap-average context of a single-pass run.
+    sees exactly the overlap-average context of a single-pass run
+    (bit-identity pinned by tests/test_inference.py).
     """
     halo = patch_size
     stride = patch_size - overlap
-    # Choose a core tile size along z that fits the budget.
     zyx = img.shape
-    plane = zyx[1] * zyx[2]
-    core_z = max(patch_size, int(max_device_voxels // (2 * plane)))
+    cores = plan_stream_cores(zyx, patch_size, overlap, max_device_voxels)
     out = np.empty(zyx, dtype=np.float32 if return_float else np.uint16)
-    for z0 in range(0, zyx[0], core_z):
-        z1 = min(z0 + core_z, zyx[0])
-        lo = max(z0 - halo, 0)
-        lo -= lo % stride  # align the tile grid with the global grid
-        hi = min(z1 + halo, zyx[0])
-        block = img[lo:hi]
-        res = predict(
-            block, model, params, transform, patch_size, overlap, trim,
-            batch_size, max_device_voxels=2**63, return_float=return_float,
-            output_clip=output_clip,
-        )
-        out[z0:z1] = res[z0 - lo:z0 - lo + (z1 - z0)]
+    for z0 in range(0, zyx[0], cores[0]):
+        for y0 in range(0, zyx[1], cores[1]):
+            for x0 in range(0, zyx[2], cores[2]):
+                core_sl, res_sl, blk_sl = [], [], []
+                for d0, core, dim in zip((z0, y0, x0), cores, zyx):
+                    d1 = min(d0 + core, dim)
+                    lo = max(d0 - halo, 0)
+                    lo -= lo % stride  # align with the global grid
+                    hi = min(d1 + halo, dim)
+                    core_sl.append(slice(d0, d1))
+                    res_sl.append(slice(d0 - lo, d0 - lo + (d1 - d0)))
+                    blk_sl.append(slice(lo, hi))
+                block = img[tuple(blk_sl)]
+                res = predict(
+                    block, model, params, transform, patch_size, overlap,
+                    trim, batch_size, max_device_voxels=2**63,
+                    return_float=return_float, output_clip=output_clip,
+                )
+                out[tuple(core_sl)] = res[tuple(res_sl)]
     return out
 
 

@@ -9,10 +9,14 @@ pure-JAX/XLA implementation designed for the MXU:
   fixed search window — block matching is a dense distance computation
   over all window offsets followed by ``lax.top_k``; no data-dependent
   control flow.
-* **Transforms as one GEMM**: the separable 4D DCT (3D over block
-  axes ⊗ 1D across the group axis) is applied as a single Kronecker
-  matrix (K·B³, K·B³) — one MXU-shaped matmul per direction instead
-  of eight narrow per-axis einsum passes through HBM.
+* **Factored 4D transform**: the separable 4D DCT (3D over block
+  axes ⊗ 1D across the group axis) factors into a DCT-emitting
+  patch-extraction conv (each table row is already its block's 3D
+  DCT, computed once per row instead of once per gathered group
+  member) plus a tiny (K, K) contraction along the group axis — ~60×
+  fewer GEMM FLOPs than the dense (K·B³, K·B³) Kronecker matrix,
+  which is retained only as the factorization oracle for tests
+  (:func:`_dct4_matrix_np`).
 * **Row-wise data movement**: group blocks gather as whole B³-element
   rows from a conv-extracted patch view, and overlap-add aggregation
   scatters rows then folds them back with a single col2im conv —
@@ -346,7 +350,7 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
     # Inverse: K-axis inverse (orthonormal ⇒ transpose contraction),
     # then one per-row inverse 3D DCT GEMM back to voxel space.
     filt_k = jnp.einsum("lk,rlb->rkb", mk, coef)
-    filt = (filt_k.reshape(-1, nb3) @ m3).reshape(-1, K * nb3)
+    filt = (filt_k.reshape(-1, nb3) @ m3).reshape(-1, K, nb3)
 
     # Overlap-add aggregation: scatter weighted block-rows onto the
     # start-indexed row accumulator (row scatter, not scalar scatter).
@@ -366,7 +370,7 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
     # becomes the second output channel of the col2im conv below.
     filt_rows = jnp.concatenate(
         [
-            filt.reshape(-1, K, B * B * B) * w,
+            filt * w,
             jnp.broadcast_to(w, (*sz.shape, 1)),
         ],
         axis=-1,

@@ -184,6 +184,13 @@ def predict_sharded(img, model, params, transform, mesh, patch_size=64,
             jax.device_put(jnp.asarray(local_starts), st_sh),
             jax.device_put(jnp.asarray(global_starts), st_sh),
         )
+    if jax.process_count() > 1:
+        # Multi-controller run: the z-sharded output spans processes and
+        # is not addressable from any single one — gather the tiles so
+        # every process returns the full volume (ICI/DCN all-gather).
+        from jax.experimental import multihost_utils
+
+        out = multihost_utils.process_allgather(out, tiled=True)
     out = np.asarray(out)[:, :Y, :X]
     if return_float:
         return transform.inverse_float(out)

@@ -4,7 +4,8 @@ The production driver the reference lacks: the reference's eval script
 denoises one in-memory crop (reference scripts/evaluate_bm4dnet.py);
 whole-brain volumes are far larger than host or device memory. This
 module streams a (possibly remote) chunked volume through the TPU in
-z-slabs:
+halo'd super-tiles (full-plane z-slabs by default; y/x tiled too when
+``max_block_voxels`` bounds the device block):
 
     reader thread (tensorstore, async chunk fetch)
         → bounded prefetch queue (double buffering)
@@ -32,29 +33,49 @@ from exaspim_tpu.utils import img_io
 __all__ = ["denoise_volume"]
 
 
-def _slab_plan(Z, slab_z, halo, stride):
+def _tile_plan(shape, cores, halo, stride):
+    """3-axis super-tile plan: per tile, (d0, d1, lo, hi) per axis.
+
+    ``(d0, d1)`` is the core (written) range, ``(lo, hi)`` the halo'd
+    fetch range with the low edge aligned to the global stride grid.
+    """
     plan = []
-    for z0 in range(0, Z, slab_z):
-        z1 = min(z0 + slab_z, Z)
-        lo = max(z0 - halo, 0)
-        lo -= lo % stride  # align the slab grid with the global grid
-        hi = min(z1 + halo, Z)
-        plan.append((z0, z1, lo, hi))
+    for z0 in range(0, shape[0], cores[0]):
+        for y0 in range(0, shape[1], cores[1]):
+            for x0 in range(0, shape[2], cores[2]):
+                tile = []
+                for d0, core, dim in zip((z0, y0, x0), cores, shape):
+                    d1 = min(d0 + core, dim)
+                    lo = max(d0 - halo, 0)
+                    lo -= lo % stride  # align with the global grid
+                    hi = min(d1 + halo, dim)
+                    tile.append((d0, d1, lo, hi))
+                plan.append(tuple(tile))
     return plan
 
 
 def denoise_volume(img, model, params, transform, output_path=None,
                    slab_z=256, patch_size=64, overlap=12, trim=5,
                    batch_size=32, clevel=5, chunks=(1, 1, 64, 64, 64),
-                   prefetch=2, progress=False, mesh=None):
-    """Denoise an arbitrarily large volume slab-by-slab.
+                   prefetch=2, progress=False, mesh=None,
+                   max_block_voxels=None):
+    """Denoise an arbitrarily large volume super-tile by super-tile.
 
     ``img``: path / URL of a chunked volume (opened lazily) or an
     ndarray. With ``output_path`` the result streams into a Zarr v3
     array and the path is returned; otherwise the assembled uint16
     volume is returned (must fit host memory).
 
-    With ``mesh`` (a 1-axis :class:`jax.sharding.Mesh`), each slab runs
+    Tiling: full-plane z-slabs of height ``slab_z`` by default
+    (sequential chunk order for typical Zarr layouts). When
+    ``max_block_voxels`` is set, y/x are super-tiled too
+    (:func:`exaspim_tpu.inference.plan_stream_cores`), so volumes whose
+    single plane × slab height exceeds device memory still stream —
+    the reference has no recourse past host RAM
+    (reference inference.py:79-81). Seams are exact either way (same
+    stride-aligned halo argument as ``inference._predict_streaming``).
+
+    With ``mesh`` (a 1-axis :class:`jax.sharding.Mesh`), each block runs
     through the spatially-sharded engine — z-sharded across chips with
     ICI halo exchange (:func:`exaspim_tpu.parallel.predict_sharded`).
     """
@@ -72,7 +93,16 @@ def denoise_volume(img, model, params, transform, output_path=None,
         )
     halo = patch_size
     slab_z = max(int(slab_z), patch_size)
-    plan = _slab_plan(Z, slab_z, halo, patch_size - overlap)
+    if max_block_voxels is not None:
+        from exaspim_tpu.inference import plan_stream_cores
+
+        cores = plan_stream_cores(
+            shape, patch_size, overlap, int(max_block_voxels)
+        )
+        cores = (min(cores[0], slab_z), cores[1], cores[2])
+    else:
+        cores = (slab_z, Y, X)
+    plan = _tile_plan(shape, cores, halo, patch_size - overlap)
     if mesh is None:
         # One device commit for the whole run instead of per slab
         # (see inference.commit_params); the sharded engine does its
@@ -107,28 +137,26 @@ def denoise_volume(img, model, params, transform, output_path=None,
         }
         out_store = ts.open(spec).result()
 
-    def fetch(lo, hi):
+    def fetch(tile):
+        sl = tuple(slice(lo, hi) for _, _, lo, hi in tile)
+        ndim = len(src.shape) if hasattr(src, "read") else src.ndim
+        idx = (Ellipsis,) + sl if ndim == 5 else sl
         if hasattr(src, "read"):
-            view = src[..., lo:hi, :, :] if len(src.shape) == 5 else (
-                src[lo:hi]
-            )
-            block = np.asarray(view.read().result())
+            block = np.asarray(src[idx].read().result())
         else:
-            block = np.asarray(
-                src[..., lo:hi, :, :] if src.ndim == 5 else src[lo:hi]
-            )
+            block = np.asarray(src[idx])
         if block.ndim == 5:
             block = block[0, 0]
         return block.astype(np.uint16)
 
-    # Reader thread: keeps `prefetch` slabs in flight.
+    # Reader thread: keeps `prefetch` super-tiles in flight.
     q = queue.Queue(maxsize=max(1, prefetch))
     _STOP = object()
 
     def reader():
         try:
-            for z0, z1, lo, hi in plan:
-                q.put(((z0, z1, lo, hi), fetch(lo, hi)))
+            for tile in plan:
+                q.put((tile, fetch(tile)))
             q.put(_STOP)
         except BaseException as exc:
             q.put(exc)
@@ -143,7 +171,8 @@ def denoise_volume(img, model, params, transform, output_path=None,
             break
         if isinstance(item, BaseException):
             raise item
-        (z0, z1, lo, hi), block = item
+        tile, block = item
+        (z0, z1, lo, _), (y0, y1, loy, _), (x0, x1, lox, _) = tile
         if mesh is not None:
             from exaspim_tpu.parallel import predict_sharded
 
@@ -168,16 +197,20 @@ def denoise_volume(img, model, params, transform, output_path=None,
                 block, model, params, transform, patch_size=patch_size,
                 overlap=overlap, trim=trim, batch_size=batch_size,
             )
-        core = res[z0 - lo:z0 - lo + (z1 - z0)]
+        core = res[
+            z0 - lo:z0 - lo + (z1 - z0),
+            y0 - loy:y0 - loy + (y1 - y0),
+            x0 - lox:x0 - lox + (x1 - x0),
+        ]
         if out_arr is not None:
-            out_arr[z0:z1] = core
+            out_arr[z0:z1, y0:y1, x0:x1] = core
         else:
             pending_writes.append(
-                out_store[0, 0, z0:z1, :, :].write(core)
+                out_store[0, 0, z0:z1, y0:y1, x0:x1].write(core)
             )
         done += 1
         if progress:
-            print(f"denoise_volume: slab {done}/{len(plan)}", flush=True)
+            print(f"denoise_volume: tile {done}/{len(plan)}", flush=True)
 
     for w in pending_writes:
         w.result()

@@ -68,7 +68,8 @@ class Trainer:
                  checkpoint_weights=None, clevel=6, seed=42,
                  warmup_steps=0, max_val_examples=None, keep_mips=10,
                  tensorboard=True, mesh=None, device_cache="auto",
-                 device_cache_budget=8 << 30):
+                 device_cache_budget=8 << 30, val_device_metrics=True,
+                 exact_cratio_examples=16):
         self.model = model
         self.transform = transform
         self.lr = lr
@@ -102,6 +103,18 @@ class Trainer:
         #: ``False`` always streams through the DataLoader.
         self.device_cache = device_cache
         self.device_cache_budget = int(device_cache_budget)
+        #: validation metric path: True (default) evaluates each batch
+        #: on device in one jitted call (metrics + cratio proxy, see
+        #: ops/metrics_device.py + compression/proxy.py) — only scalars
+        #: cross to host; the exact blosc cratio that anchors the
+        #: checkpoint score is measured for the first
+        #: ``exact_cratio_examples`` examples only (the reference syncs
+        #: every example through its host metric loop,
+        #: reference train.py:331-374). False keeps the per-example
+        #: host-oracle loop (parity/debug path).
+        self.val_device_metrics = bool(val_device_metrics)
+        self.exact_cratio_examples = int(exact_cratio_examples)
+        self._val_metrics_fn = None
 
         stamp = datetime.now().strftime("%Y%m%d_%H%M")
         self.output_dir = os.fspath(output_dir)
@@ -442,9 +455,113 @@ class Trainer:
 
     # ------------------------------------------------------- validation
 
+    def _get_val_metrics_step(self):
+        """One jitted program: batched count-space metrics + cratio proxy.
+
+        Returns (dict of (B,) metric arrays, (B,) proxy ratios); only
+        these scalars cross the device→host boundary per batch.
+        """
+        if self._val_metrics_fn is None:
+            import jax.numpy as jnp
+
+            from exaspim_tpu.compression.proxy import cratio_proxy
+            from exaspim_tpu.ops.metrics_device import evaluate_batch
+
+            @jax.jit
+            def fn(pred, x, y, fg):
+                p = pred[..., 0].astype(jnp.float32)
+                raw = x[..., 0].astype(jnp.float32)
+                teacher = y[..., 0].astype(jnp.float32)
+                m = evaluate_batch(
+                    p, raw, teacher, fg[..., 0].astype(jnp.float32)
+                )
+                proxy = jax.vmap(
+                    lambda v: cratio_proxy(v, chunk=64)
+                )(pred[..., 0])
+                return m, proxy
+
+            self._val_metrics_fn = fn
+        return self._val_metrics_fn
+
     def validate(self, state, eval_step, val_loader, step):
-        """Loss + per-example cratio + count-space metrics
-        (reference train.py:224-374)."""
+        """Loss + count-space metrics + compression evidence
+        (reference train.py:224-374).
+
+        Default path (``val_device_metrics=True``): each batch is
+        metric-evaluated on device in one jitted call (the val collate
+        guarantees ``x[..., 0]`` is the raw counts, data/loader.py
+        ``make_count_val_collate``); the host only receives (B,)
+        scalars, plus the first ``exact_cratio_examples`` predictions
+        for the exact blosc ``val_cratio`` that anchors the checkpoint
+        score, and the first ``keep_mips`` for MIP PNGs. The
+        per-example host-oracle loop (the reference's structure and
+        this trainer's original path) remains available with
+        ``val_device_metrics=False``; parity between the two metric
+        stacks is pinned in tests/test_metrics.py.
+        """
+        if not self.val_device_metrics:
+            return self._validate_host(state, eval_step, val_loader, step)
+        metrics_step = self._get_val_metrics_step()
+        losses, proxies, exact_cratios = [], [], []
+        sums, n_rows = {}, 0
+        n_seen = 0
+        n_mips = 0
+        for x, y, counts, fg in val_loader:
+            if (self.max_val_examples is not None
+                    and n_seen >= self.max_val_examples):
+                break
+            x = jax.device_put(x)
+            y = jax.device_put(y)
+            fg = jax.device_put(fg)
+            loss, pred = eval_step(state, x, y, fg)
+            m, proxy = metrics_step(pred, x, y, fg)
+            losses.append(float(loss))
+            b = int(pred.shape[0])
+            take = b if self.max_val_examples is None else min(
+                b, self.max_val_examples - n_seen
+            )
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(
+                    np.sum(np.asarray(v)[:take])
+                )
+            n_rows += take
+            proxies.extend(np.asarray(proxy)[:take].tolist())
+            # Bounded host pulls: exact blosc ratios + MIP PNGs on the
+            # leading examples only.
+            n_exact = min(take, max(
+                0, self.exact_cratio_examples - len(exact_cratios)
+            ))
+            n_pull = max(n_exact, min(take, self.keep_mips - n_mips))
+            if n_pull > 0:
+                head = np.asarray(pred[:n_pull])[..., 0]
+                for i in range(n_pull):
+                    if i < n_exact:
+                        exact_cratios.append(
+                            compute_cratio(head[i], self.codec)
+                        )
+                    if n_mips < self.keep_mips:
+                        self._save_mip(head[i], step, n_mips)
+                        n_mips += 1
+            n_seen += take
+        agg = {k: s / n_rows for k, s in sums.items()} if n_rows else {}
+        result = {
+            "val_loss": float(np.mean(losses)) if losses else float("nan"),
+            "val_cratio": (
+                float(np.median(exact_cratios)) if exact_cratios else 0.0
+            ),
+            "val_cratio_proxy": (
+                float(np.median(proxies)) if proxies else 0.0
+            ),
+            **{f"val_{k}": v for k, v in agg.items()},
+        }
+        result["val_score"] = checkpoint_score(
+            agg, result["val_cratio"], self.checkpoint_weights
+        ) if n_rows else float("inf")
+        return result
+
+    def _validate_host(self, state, eval_step, val_loader, step):
+        """Per-example host-oracle validation (reference train.py
+        structure); kept as the parity/debug path."""
         losses, cratios, rows = [], [], []
         n_seen = 0
         n_mips = 0

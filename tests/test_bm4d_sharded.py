@@ -9,7 +9,7 @@ from exaspim_tpu.ops.bm4d import bm4d
 from exaspim_tpu.parallel.bm4d_sharded import bm4d_halo, bm4d_sharded
 
 # Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.medium]
 
 
 

@@ -5,6 +5,8 @@ signal), edge-chunk handling, 5D input promotion, the pure-Python vs
 native-C++ path equivalence, and the generic 2D-slice codec paths.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -60,6 +62,34 @@ def test_blosc_roundtrip():
     img = _poisson_volume((32, 32, 32))
     out = np.frombuffer(codec.decode(codec.encode(img)), dtype=np.uint16)
     np.testing.assert_array_equal(out, img.ravel())
+
+
+@pytest.mark.slow
+def test_native_builds_from_source():
+    """`make -C native` must succeed on this toolchain and the fresh
+    library must match the Python chunk loop — an unbuildable fast path
+    is dead weight, so the build itself is under test."""
+    import shutil
+    import subprocess
+
+    if shutil.which("make") is None or shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain on this host")
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "native",
+    )
+    r = subprocess.run(
+        ["make", "-C", root], capture_output=True, text=True, timeout=300
+    )
+    assert r.returncode == 0, r.stderr
+    with native._lock:
+        native._lib = None  # force a fresh probe of the built library
+    assert native.available()
+    img = _poisson_volume((70, 65, 64), seed=5)
+    codec = BloscCodec(cname="zstd", clevel=6, shuffle=1)
+    assert compute_cratio(img, codec, use_native=False) == compute_cratio(
+        img, codec, use_native=True
+    )
 
 
 @pytest.mark.skipif(not native.available(), reason="native lib not built")

@@ -24,7 +24,7 @@ if REPO not in sys.path:
 import __graft_entry__ as ge  # noqa: E402
 
 # Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.medium]
 
 
 

@@ -107,6 +107,42 @@ def test_streaming_matches_in_memory():
     np.testing.assert_allclose(streamed, full, atol=1e-4)
 
 
+def test_streaming_yx_supertiles_match_in_memory():
+    """y/x super-tiling (volume planes too big for the device budget)
+    must reproduce the single-pass result bit-for-bit."""
+    from exaspim_tpu.inference import plan_stream_cores
+
+    t = build_transform(TCFG)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 900, (20, 72, 60)).astype(np.uint16)
+    budget = 20 * 60 * 60  # < one full-plane slab of min height
+    cores = plan_stream_cores(img.shape, 16, 4, budget)
+    assert cores[1] < img.shape[1]  # y really splits
+    full = predict(
+        img, DoublePlusOne(), {}, t, patch_size=16, overlap=4, trim=2,
+        batch_size=4, return_float=True,
+    )
+    streamed = predict(
+        img, DoublePlusOne(), {}, t, patch_size=16, overlap=4, trim=2,
+        batch_size=4, return_float=True, max_device_voxels=budget,
+    )
+    np.testing.assert_allclose(streamed, full, atol=1e-4)
+
+
+def test_plan_stream_cores_axis_order():
+    """Cores shrink z first, then y, then x; all stay >= patch."""
+    from exaspim_tpu.inference import plan_stream_cores
+
+    # Plenty of budget: no split at all.
+    assert plan_stream_cores((64, 64, 64), 16, 4, 2**40) == (64, 64, 64)
+    # Tight budget: every axis collapses toward the patch floor.
+    cz, cy, cx = plan_stream_cores((200, 300, 400), 16, 4, 100 * 100 * 100)
+    assert cz == 16 and cy == 16 and cx >= 16
+    # Moderate budget: z splits first, y/x stay whole.
+    cz, cy, cx = plan_stream_cores((512, 96, 96), 16, 4, 128 * 96 * 96)
+    assert cz < 512 and cy == 96 and cx == 96
+
+
 def test_predict_patch(small_unet):
     m, params = small_unet
     t = build_transform(TCFG)

@@ -24,7 +24,7 @@ from exaspim_tpu.train import create_train_state, make_train_step
 from exaspim_tpu.transforms import build_transform
 
 # Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.medium]
 
 
 TCFG = {"kind": "linear", "params": {"mn": 0.0, "mx": 1000.0, "clip": 8.0}}

@@ -37,6 +37,45 @@ def test_streamed_equals_direct(tmp_path):
     np.testing.assert_array_equal(streamed, direct)
 
 
+def test_streamed_yx_supertiles_equal_direct(tmp_path):
+    """max_block_voxels forces 3-axis super-tiling; seams stay exact."""
+    t = build_transform(TCFG)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 900, (20, 72, 60)).astype(np.uint16)
+    direct = predict(
+        img, DoublePlusOne(), {}, t, patch_size=16, overlap=4, trim=2,
+        batch_size=4,
+    )
+    streamed = denoise_volume(
+        img, DoublePlusOne(), {}, t, slab_z=16, patch_size=16,
+        overlap=4, trim=2, batch_size=4,
+        max_block_voxels=20 * 60 * 60,
+    )
+    np.testing.assert_array_equal(streamed, direct)
+
+
+def test_streamed_yx_zarr_to_zarr(tmp_path):
+    """Zarr→Zarr with y/x super-tiles: per-tile writes reassemble."""
+    t = build_transform(TCFG)
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 900, (20, 48, 40)).astype(np.uint16)
+    in_path = os.path.join(tmp_path, "in_yx.zarr")
+    out_path = os.path.join(tmp_path, "out_yx.zarr")
+    img_io.write_zarr(img, in_path, chunks=(1, 1, 16, 16, 16))
+    result = denoise_volume(
+        in_path, DoublePlusOne(), {}, t, output_path=out_path,
+        slab_z=16, patch_size=16, overlap=4, trim=2, batch_size=4,
+        chunks=(1, 1, 16, 16, 16), max_block_voxels=20 * 44 * 40,
+    )
+    assert result == out_path
+    direct = predict(
+        img, DoublePlusOne(), {}, t, patch_size=16, overlap=4, trim=2,
+        batch_size=4,
+    )
+    back = np.asarray(img_io.read(out_path))[0, 0]
+    np.testing.assert_array_equal(back, direct)
+
+
 def test_streamed_zarr_to_zarr(tmp_path):
     t = build_transform(TCFG)
     rng = np.random.default_rng(1)

@@ -34,7 +34,7 @@ from exaspim_tpu.models import UNet  # noqa: E402
 from exaspim_tpu.models.unet3d import resize_trilinear  # noqa: E402
 
 # Compile-heavy tier: deselect with -m "not slow" for the fast CI gate.
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.medium]
 
 
 

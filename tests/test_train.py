@@ -140,6 +140,39 @@ def test_trainer_end_to_end(tmp_path, tiny_caches):
     assert glob.glob(os.path.join(trainer.mip_dir, "*.png"))
 
 
+def test_validate_device_matches_host_oracle(tmp_path, tiny_caches):
+    """The device-batched validation path (ops/metrics_device + cratio
+    proxy, only scalars cross to host) must agree with the per-example
+    host-oracle loop it replaced as the trainer default."""
+    from exaspim_tpu.data.loader import DataLoader, make_count_val_collate
+
+    _, val_dir = tiny_caches
+    val_ds = CachedValidateDataset(val_dir)
+    t = build_transform(TCFG)
+    model = UNet(**SMALL)
+    trainer = Trainer(
+        tmp_path, model, t, batch_size=4, tensorboard=False, keep_mips=1,
+    )
+    state = create_train_state(
+        model, patch_shape=(16, 16, 16), lr=1e-3, total_steps=4, seed=0
+    )
+    eval_step = make_eval_step(0.0, transform=t)
+    loader = DataLoader(val_ds, 4, make_count_val_collate())
+    dev = trainer.validate(state, eval_step, loader, step=1)
+    host = trainer._validate_host(state, eval_step, loader, step=1)
+    # All 4 examples fall inside exact_cratio_examples → the exact
+    # blosc anchor is identical byte-for-byte.
+    assert dev["val_cratio"] == pytest.approx(host["val_cratio"], rel=1e-6)
+    assert dev["val_cratio_proxy"] > 0
+    for k in ("val_loss", "val_fg_mae", "val_bg_mae", "val_top_pct_error",
+              "val_mip_max_error", "val_false_bright_rate",
+              "val_top_pct_preservation"):
+        assert dev[k] == pytest.approx(host[k], rel=1e-2, abs=1e-2), k
+    assert dev["val_score"] == pytest.approx(host["val_score"], rel=1e-2)
+    # MIPs still land in the session dir on the device path.
+    assert glob.glob(os.path.join(trainer.mip_dir, "*.png"))
+
+
 def test_trainer_rejects_transform_mismatch(tmp_path, tiny_caches):
     train_dir, _ = tiny_caches
     model = UNet(**SMALL)
