@@ -427,8 +427,17 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
         # MXU tile width — and measured ~4× slower than its own HBM
         # traffic bound; the slice fold is pure VPU adds and reads each
         # accumulator element once. The weight fold is mathematically a
-        # B-box sum of the weight channel, done separably.
-        padded = jnp.pad(acc_rows, [(B - 1, B - 1)] * 3 + [(0, 0)])
+        # B-box sum of the weight channel, done separably — and it is
+        # split off BEFORE the pad: when both folds consumed one padded
+        # 65-channel tensor, XLA re-materialized the scatter chunks'
+        # {1,0}→{0,1} relayout once per consumer (two ~3.9 ms
+        # transposes per chunk per stage in the 128³ xplane trace);
+        # slicing the weight lane from the channels-minor scatter
+        # output directly leaves the value side as the relayout's only
+        # consumer.
+        padded = jnp.pad(
+            acc_rows[..., : nrow - 1], [(B - 1, B - 1)] * 3 + [(0, 0)]
+        )
         accum = jnp.zeros((Z, Y, X), jnp.float32)
         for dz in range(B):
             for dy in range(B):
@@ -441,7 +450,7 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
                          flat + 1),
                     )
                     accum = accum + win[..., 0]
-        wpad = padded[..., nrow - 1]
+        wpad = jnp.pad(acc_rows[..., nrow - 1], [(B - 1, B - 1)] * 3)
         for axis in range(3):
             window = [1, 1, 1]
             window[axis] = B

@@ -45,7 +45,7 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
           val_every=1000, seed=42, width_multiplier=1.0, model_cfg=None,
           resume=None, bf16=True, checkpoint_weights=None,
           max_val_examples=None, data_parallel=False,
-          device_cache="auto"):
+          device_cache="auto", device_cache_budget=8 << 30):
     """Run cache-only training; returns the Trainer."""
     transform_cfg = load_cache_transform(
         list(train_cache) + list(val_cache)
@@ -89,6 +89,7 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
         checkpoint_weights=checkpoint_weights or CHECKPOINT_WEIGHTS,
         seed=seed, max_val_examples=max_val_examples, mesh=mesh,
         device_cache=device_cache,
+        device_cache_budget=device_cache_budget,
     )
     trainer.save_config({
         "train_cache": list(train_cache),
@@ -127,6 +128,10 @@ def main(argv=None):
                    help="train from an HBM-resident cache (gather "
                         "batches on device; the host ships only batch "
                         "indices — see Trainer.device_cache)")
+    p.add_argument("--device-cache-budget-gb", type=float, default=8.0,
+                   help="HBM budget for the device-resident cache "
+                        "(raise toward the chip's free HBM for bigger "
+                        "caches; v5e has 16 GB)")
     args = p.parse_args(argv)
     if args.config_json:
         from exaspim_tpu.config import TrainConfig
@@ -155,6 +160,7 @@ def main(argv=None):
         device_cache={"auto": "auto", "on": True, "off": False}[
             args.device_cache
         ],
+        device_cache_budget=int(args.device_cache_budget_gb * (1 << 30)),
     )
 
 
