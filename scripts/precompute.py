@@ -46,7 +46,7 @@ def _seed_task(seed, stream, index):
 
 def precompute(out_dir, split="train", source="synthetic", config=None,
                n=500, patch=(64, 64, 64), sigma_bm4d=24.0, seed=42,
-               transform_cfg=None, check_incoherence=True):
+               transform_cfg=None, check_incoherence=True, bm4d_step=3):
     """Generate ``n`` patches into ``out_dir`` fulfilling the cache
     contract."""
     transform_cfg = transform_cfg or DEFAULT_TRANSFORM
@@ -62,6 +62,7 @@ def precompute(out_dir, split="train", source="synthetic", config=None,
     run_config = {
         "split": split, "source": source, "n": int(n),
         "patch_shape": list(patch), "sigma_bm4d": sigma_bm4d,
+        "bm4d_step": int(bm4d_step),
         "seed": seed, "seed_stream": stream,
         "check_incoherence": check_incoherence,
         "transform": transform_cfg, "count_dtype": "uint16",
@@ -93,7 +94,7 @@ def precompute(out_dir, split="train", source="synthetic", config=None,
                     raws[-1:], teacher_batch - len(pairs), axis=0
                 )])
             dens = np.asarray(bm4d_batch(
-                raws.astype(np.float32), sigma_bm4d
+                raws.astype(np.float32), sigma_bm4d, step=bm4d_step
             ))[:len(pairs)]
             teachers = np.clip(
                 np.round(dens), 0, 65535
@@ -152,6 +153,11 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=500)
     p.add_argument("--patch", type=int, nargs=3, default=(64, 64, 64))
     p.add_argument("--sigma-bm4d", type=float, default=24.0)
+    p.add_argument("--bm4d-step", type=int, default=3,
+                   help="BM4D reference-grid stride: 3 = reference "
+                        "parity default; 4 = TPU fast profile (~2x "
+                        "teacher throughput, −7%% RMSE gain — see "
+                        "RESULTS.md)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--transform-json",
                    help="path to a frozen transform cfg JSON")
@@ -164,6 +170,7 @@ def main(argv=None):
         args.out, split=args.split, source=args.source,
         config=args.config, n=args.n, patch=tuple(args.patch),
         sigma_bm4d=args.sigma_bm4d, seed=args.seed, transform_cfg=tcfg,
+        bm4d_step=args.bm4d_step,
     )
 
 

@@ -57,6 +57,25 @@ def test_structure_preserved(phantom):
     ].mean()
 
 
+def test_fast_profile_quality(phantom):
+    """The step=4 "fast" operating point must stay near the default.
+
+    With step == block the reference grid tiles exactly: the matcher's
+    band matmuls become single-tile 128-wide contractions and the
+    latency-bound gather/scatter row count drops 2.4×, measured ~2×
+    end-to-end throughput on TPU (RESULTS.md round 4). The price is a
+    bounded RMSE-gain cost (measured −7 % on the 96³ phantom at
+    σ ∈ {16, 24}); this pin fails if the fast profile ever degrades
+    materially past that.
+    """
+    clean, noisy = phantom
+    den3 = np.asarray(bm4d(noisy, 30.0))
+    den4 = np.asarray(bm4d(noisy, 30.0, step=4))
+    e3, e4 = _rmse(den3, clean), _rmse(den4, clean)
+    assert e4 < _rmse(noisy, clean) / 3  # still a strong denoiser
+    assert e4 <= e3 * 1.2  # within ~20 % of the default's RMSE
+
+
 def test_small_sigma_near_identity():
     rng = np.random.default_rng(0)
     vol = rng.normal(500.0, 5.0, (16, 16, 16)).astype(np.float32)
