@@ -65,6 +65,7 @@ class Trainer:
     def __init__(self, output_dir, model, transform, *, lr=1e-3,
                  weight_decay=1e-2, epochs=50, batch_size=32,
                  fg_weight=0.0, preserve_foreground=False, val_every=1000,
+                 loss_eps=1e-3,
                  checkpoint_weights=None, clevel=6, seed=42,
                  warmup_steps=0, max_val_examples=None, keep_mips=10,
                  tensorboard=True, mesh=None, device_cache="auto",
@@ -77,6 +78,16 @@ class Trainer:
         self.epochs = int(epochs)
         self.batch_size = int(batch_size)
         self.fg_weight = float(fg_weight)
+        #: Charbonnier knee, in the transform domain. The default 1e-3
+        #: (reference losses.py) is ~0.3 uint16 counts at the shipped
+        #: asinh scale — residual background error below it sits in the
+        #: quadratic basin where gradients vanish, which caps the
+        #: achievable compression ratio (the σ=24 BM4D teacher scores
+        #: cratio gain 3.2 on the bench phantom; a student trained at
+        #: the default plateaued at 1.97). Smaller values make the
+        #: penalty L1-like and keep pushing sub-count background
+        #: residue toward the teacher's flat field.
+        self.loss_eps = float(loss_eps)
         self.preserve_foreground = bool(preserve_foreground)
         self.val_every = int(val_every)
         self.checkpoint_weights = dict(
@@ -190,6 +201,7 @@ class Trainer:
             "epochs": self.epochs,
             "batch_size": self.batch_size,
             "fg_weight": self.fg_weight,
+            "loss_eps": self.loss_eps,
             "preserve_foreground": self.preserve_foreground,
             "val_every": self.val_every,
             "checkpoint_weights": self.checkpoint_weights,
@@ -370,22 +382,24 @@ class Trainer:
             from exaspim_tpu.parallel import make_dp_train_step
 
             train_step = make_dp_train_step(
-                self.mesh, fg_weight=self.fg_weight,
+                self.mesh, fg_weight=self.fg_weight, eps=self.loss_eps,
                 transform=self.transform,
             )
         elif use_dev_cache:
             from exaspim_tpu.train.state import make_cached_train_step
 
             train_step = make_cached_train_step(
-                self.fg_weight, transform=self.transform,
+                self.fg_weight, eps=self.loss_eps,
+                transform=self.transform,
                 preserve_foreground=self.preserve_foreground,
             )
         else:
             train_step = make_train_step(
-                self.fg_weight, transform=self.transform
+                self.fg_weight, eps=self.loss_eps,
+                transform=self.transform,
             )
         eval_step = make_eval_step(
-            self.fg_weight, transform=self.transform
+            self.fg_weight, eps=self.loss_eps, transform=self.transform
         )
         self.save_config({
             "total_steps": total_steps,

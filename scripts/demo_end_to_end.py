@@ -32,6 +32,8 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--width", type=float, default=1.0)
     p.add_argument("--fg-weight", type=float, default=0.0)
+    p.add_argument("--loss-eps", type=float, default=1e-3)
+    p.add_argument("--sigma-bm4d", type=float, default=24.0)
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
@@ -69,12 +71,12 @@ def main(argv=None):
     if not os.path.exists(os.path.join(train_cache, "raw.npy")):
         precompute_script.precompute(
             train_cache, split="train", source="synthetic",
-            n=args.n_train, patch=patch, sigma_bm4d=24.0,
+            n=args.n_train, patch=patch, sigma_bm4d=args.sigma_bm4d,
             seed=args.seed, transform_cfg=tcfg,
         )
         precompute_script.precompute(
             val_cache, split="val", source="synthetic", n=args.n_val,
-            patch=patch, sigma_bm4d=24.0, seed=args.seed,
+            patch=patch, sigma_bm4d=args.sigma_bm4d, seed=args.seed,
             transform_cfg=tcfg,
         )
     t_cache = time.time() - t0
@@ -84,7 +86,8 @@ def main(argv=None):
     trainer = train_script.train(
         [train_cache], [val_cache], os.path.join(args.out, "run"),
         epochs=args.epochs, batch_size=args.batch_size, lr=1e-3,
-        fg_weight=args.fg_weight, val_every=200, seed=args.seed,
+        fg_weight=args.fg_weight, loss_eps=args.loss_eps,
+        val_every=200, seed=args.seed,
         width_multiplier=args.width, max_val_examples=8,
     )
     t_train = time.time() - t0
@@ -127,6 +130,8 @@ def main(argv=None):
         "n_train": args.n_train,
         "epochs": args.epochs,
         "width": args.width,
+        "loss_eps": args.loss_eps,
+        "sigma_bm4d": args.sigma_bm4d,
     }
     summary["cratio_gain"] = round(
         summary["cratio_denoised"] / summary["cratio_raw"], 3

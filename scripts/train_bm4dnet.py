@@ -41,7 +41,8 @@ CHECKPOINT_WEIGHTS = {
 
 
 def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
-          lr=1e-3, fg_weight=0.0, preserve_foreground=False,
+          lr=1e-3, fg_weight=0.0, loss_eps=1e-3,
+          preserve_foreground=False,
           val_every=1000, seed=42, width_multiplier=1.0, model_cfg=None,
           resume=None, bf16=True, checkpoint_weights=None,
           max_val_examples=None, data_parallel=False,
@@ -84,7 +85,7 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
         mesh = make_mesh(axis="data")
     trainer = Trainer(
         output_dir, model, transform, lr=lr, epochs=epochs,
-        batch_size=batch_size, fg_weight=fg_weight,
+        batch_size=batch_size, fg_weight=fg_weight, loss_eps=loss_eps,
         preserve_foreground=preserve_foreground, val_every=val_every,
         checkpoint_weights=checkpoint_weights or CHECKPOINT_WEIGHTS,
         seed=seed, max_val_examples=max_val_examples, mesh=mesh,
@@ -114,6 +115,10 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--fg-weight", type=float, default=0.0)
+    p.add_argument("--loss-eps", type=float, default=1e-3,
+                   help="Charbonnier knee in the transform domain; "
+                        "smaller is more L1-like and flattens residual "
+                        "background toward the teacher (see Trainer)")
     p.add_argument("--preserve-foreground", action="store_true")
     p.add_argument("--val-every", type=int, default=1000)
     p.add_argument("--seed", type=int, default=42)
@@ -152,6 +157,7 @@ def main(argv=None):
     train(
         args.train_cache, args.val_cache, args.out, epochs=args.epochs,
         batch_size=args.batch_size, lr=args.lr, fg_weight=args.fg_weight,
+        loss_eps=args.loss_eps,
         preserve_foreground=args.preserve_foreground,
         val_every=args.val_every, seed=args.seed,
         width_multiplier=args.width_multiplier, resume=args.resume,

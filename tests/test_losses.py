@@ -54,3 +54,29 @@ def test_loss_is_jit_static():
 
     out = step(jnp.ones((2, 2)), jnp.zeros((2, 2)), jnp.ones((2, 2)), loss)
     assert float(out) == pytest.approx(6.0 * 1.0000005, rel=1e-4)
+
+
+def test_smaller_eps_sharpens_small_residue_penalty():
+    """loss_eps is the compression lever: below the knee the penalty is
+    quadratic and sub-count background residue stops being pushed to
+    zero (RESULTS.md round 4). The relative penalty on a tiny residual
+    must grow as eps shrinks."""
+    import jax
+    import jax.numpy as jnp
+
+    d = jnp.full((4, 4), 1e-4)  # sub-knee residual
+
+    def mean_loss(eps):
+        return signal_preserving_loss(
+            d, jnp.zeros_like(d), jnp.zeros_like(d), fg_weight=0.0,
+            eps=eps,
+        )
+
+    g_big = jax.grad(lambda x: signal_preserving_loss(
+        x, jnp.zeros_like(d), jnp.zeros_like(d), 0.0, eps=1e-3))(d)
+    g_small = jax.grad(lambda x: signal_preserving_loss(
+        x, jnp.zeros_like(d), jnp.zeros_like(d), 0.0, eps=1e-5))(d)
+    # Near-L1 gradient magnitude with the small knee; vanishing with
+    # the default.
+    assert float(g_small.mean()) > 5 * float(g_big.mean())
+    assert float(mean_loss(1e-5)) < float(mean_loss(1e-3))

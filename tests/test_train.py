@@ -129,6 +129,7 @@ def test_trainer_end_to_end(tmp_path, tiny_caches):
     assert cfg["transform"] == t.cfg
     assert cfg["seed"] == 42
     assert cfg["model_config"]["model"] == "UNet"
+    assert cfg["loss_eps"] == 1e-3  # default recorded for reproducibility
 
     # Scored checkpoints exist and parse.
     ckpts = glob.glob(os.path.join(trainer.ckpt_dir, "*.ckpt"))
