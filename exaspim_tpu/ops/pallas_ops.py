@@ -1,18 +1,23 @@
-"""Pallas TPU kernels for the intensity-transform hot path.
+"""Pallas elementwise-kernel PATTERN EXAMPLE — not a production path.
 
-The forward/inverse intensity transform touches every voxel of every
-volume the pipeline moves (reference transforms.py applies them on the
-host with numpy — a full extra pass over each block). These kernels fuse
-the whole mapping — pedestal subtract, scale, asinh (as its log form;
-``asinh`` itself has no Mosaic lowering), normalize, and on the inverse
-side sinh, de-normalize, clamp and uint16 quantize — into single
-VMEM-tiled passes.
+Status (explicit, round 5): every production consumer of the intensity
+transform (train/eval steps, tiled inference, the streaming pipeline)
+applies it *inside* a larger jitted program where XLA fuses the
+identical chain into the neighboring op at full bandwidth — a
+standalone fused kernel cannot beat that, and no standalone eager
+transform pass exists in the production datapath. These kernels are
+therefore kept as the framework's documented reference for the
+elementwise Pallas pattern (flatten to (rows, 128) lanes, grid over
+row tiles, VPU math, dtype-hop casts Mosaic requires), exercised by
+tests/test_pallas_ops.py for parity against
+:class:`exaspim_tpu.transforms.AsinhTransform`.
 
-Inside a larger jitted program XLA fuses the same chain, so these
-kernels matter for *standalone* transform passes (eager host→device
-usage, the streaming loader's normalization stage) and serve as the
-framework's reference Pallas pattern: flatten to (rows, 128) lanes,
-grid over row tiles, elementwise VPU math.
+What they implement: the full forward/inverse asinh mapping — pedestal
+subtract, scale, asinh (as its log form; ``asinh`` itself has no Mosaic
+lowering), normalize, and on the inverse side sinh, de-normalize, clamp
+and uint16 quantize — each as a single VMEM-tiled pass
+(reference transforms.py:65-153 applies the same math on the host with
+numpy, a full extra pass over each block).
 """
 
 from __future__ import annotations

@@ -80,13 +80,12 @@ class Trainer:
         self.fg_weight = float(fg_weight)
         #: Charbonnier knee, in the transform domain. The default 1e-3
         #: (reference losses.py) is ~0.3 uint16 counts at the shipped
-        #: asinh scale — residual background error below it sits in the
-        #: quadratic basin where gradients vanish, which caps the
-        #: achievable compression ratio (the σ=24 BM4D teacher scores
-        #: cratio gain 3.2 on the bench phantom; a student trained at
-        #: the default plateaued at 1.97). Smaller values make the
-        #: penalty L1-like and keep pushing sub-count background
-        #: residue toward the teacher's flat field.
+        #: asinh scale. Measured: the smaller-eps hypothesis (L1-like
+        #: penalty pushes sub-count background residue further) is
+        #: FALSE — the eps=1e-4 A/B scored strictly worse on both gain
+        #: and PSNR (1.835/64.96 dB vs 1.921/66.11 dB at matched
+        #: budget, RESULTS.md round 4b); the default is retained and
+        #: the knob stays exposed for reproduction only.
         self.loss_eps = float(loss_eps)
         self.preserve_foreground = bool(preserve_foreground)
         self.val_every = int(val_every)

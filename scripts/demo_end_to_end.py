@@ -34,6 +34,9 @@ def main(argv=None):
     p.add_argument("--fg-weight", type=float, default=0.0)
     p.add_argument("--loss-eps", type=float, default=1e-3)
     p.add_argument("--sigma-bm4d", type=float, default=24.0)
+    p.add_argument("--bm4d-step", type=int, default=3,
+                   help="BM4D reference-grid step for teacher generation "
+                        "(3 = parity default; 4 = documented fast profile)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
@@ -73,11 +76,12 @@ def main(argv=None):
             train_cache, split="train", source="synthetic",
             n=args.n_train, patch=patch, sigma_bm4d=args.sigma_bm4d,
             seed=args.seed, transform_cfg=tcfg,
+            bm4d_step=args.bm4d_step,
         )
         precompute_script.precompute(
             val_cache, split="val", source="synthetic", n=args.n_val,
             patch=patch, sigma_bm4d=args.sigma_bm4d, seed=args.seed,
-            transform_cfg=tcfg,
+            transform_cfg=tcfg, bm4d_step=args.bm4d_step,
         )
     t_cache = time.time() - t0
 
@@ -132,6 +136,7 @@ def main(argv=None):
         "width": args.width,
         "loss_eps": args.loss_eps,
         "sigma_bm4d": args.sigma_bm4d,
+        "bm4d_step": args.bm4d_step,
     }
     summary["cratio_gain"] = round(
         summary["cratio_denoised"] / summary["cratio_raw"], 3

@@ -64,9 +64,11 @@ def test_fast_profile_quality(phantom):
     band matmuls become single-tile 128-wide contractions and the
     latency-bound gather/scatter row count drops 2.4×, measured ~2×
     end-to-end throughput on TPU (RESULTS.md round 4). The price is a
-    bounded RMSE-gain cost (measured −7 % on the 96³ phantom at
-    σ ∈ {16, 24}); this pin fails if the fast profile ever degrades
-    materially past that.
+    bounded RMSE-gain cost — the −7 % figure comes from the RESULTS.md
+    round-4b study on 96³/64³ phantoms at σ ∈ {16, 24}; this pin runs
+    the module's 32³ CI phantom at σ=30 (a different operating point)
+    and fails if the fast profile ever degrades materially past the
+    documented trade.
     """
     clean, noisy = phantom
     den3 = np.asarray(bm4d(noisy, 30.0))

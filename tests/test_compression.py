@@ -69,11 +69,19 @@ def test_native_builds_from_source():
     """`make -C native` must succeed on this toolchain and the fresh
     library must match the Python chunk loop — an unbuildable fast path
     is dead weight, so the build itself is under test."""
+    import ctypes
     import shutil
     import subprocess
 
     if shutil.which("make") is None or shutil.which("g++") is None:
         pytest.skip("no C++ toolchain on this host")
+    # The Makefile links -l:libblosc.so.1 (the same library numcodecs
+    # wraps); on a runner without the system library the build — and the
+    # availability assert below — would fail spuriously rather than skip.
+    try:
+        ctypes.CDLL("libblosc.so.1")
+    except OSError:
+        pytest.skip("system libblosc.so.1 not present on this host")
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "native",

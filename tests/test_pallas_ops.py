@@ -1,7 +1,10 @@
 """Pallas transform-kernel parity tests (interpret mode on CPU).
 
-The same kernels run compiled on TPU hardware (verified out-of-band);
-interpret mode checks kernel semantics hermetically.
+``ops/pallas_ops.py`` is the framework's documented elementwise-kernel
+pattern example, not a production path (see its module docstring);
+these tests keep the example semantically correct against the real
+transform. The same kernels run compiled on TPU hardware (verified
+out-of-band); interpret mode checks kernel semantics hermetically.
 """
 
 import numpy as np
