@@ -19,6 +19,7 @@ from scipy import ndimage
 
 __all__ = [
     "neurite_phantom",
+    "neurite_phantom_b",
     "noisy_observation",
     "SyntheticPatchDataset",
     "make_synthetic_cache",
@@ -66,6 +67,28 @@ def neurite_phantom(shape=(128, 128, 128), n_tubes=12, radius_range=(1.0, 3.0),
     clean = ndimage.gaussian_filter(clean, sigma=psf_sigma)
     clean += background
     return clean.astype(np.float32), fg
+
+
+def neurite_phantom_b(shape=(128, 128, 128), seed=0):
+    """Second phantom family ("family B") for generalization checks.
+
+    A deliberately different operating point from :func:`neurite_phantom`
+    (family A, the bench default): ~4× higher foreground density
+    (48 tubes per 128³ vs 16), thinner and dimmer processes
+    (radius 0.8–2.2 vs 1–3, intensity 250–2500 vs 500–6000), a wider
+    optical PSF (σ=1.8 vs 1.1), and a low background pedestal
+    (40 counts ≈ the reference's measured per-brain offsets,
+    reference scripts/evaluate_bm4dnet.py:207, vs 110). Quality numbers
+    quoted on a single family say nothing about off-family behavior;
+    RESULTS.md records both (stands in for the reference's real-tile
+    evaluation, reference scripts/evaluate_bm4dnet.py:184-218).
+    """
+    n_tubes = max(4, round(48 * float(np.prod(shape)) / 128 ** 3))
+    return neurite_phantom(
+        shape, n_tubes=n_tubes, radius_range=(0.8, 2.2),
+        intensity_range=(250.0, 2500.0), background=40.0,
+        psf_sigma=1.8, seed=seed,
+    )
 
 
 def noisy_observation(clean, gain=1.0, read_noise=3.0, seed=0):

@@ -143,10 +143,19 @@ class Conv(nn.Module):
     window: int = 3
     use_bias: bool = False
     kernel_init: object = nn.initializers.lecun_normal()
+    #: emit per-lane (Σy, Σy²) from the blocked conv epilogue so the
+    #: following GroupNorm skips its stats read pass (ops/nb_conv.py
+    #: ``nb_conv3d_stats``). Only the blocked 3³ path can emit; other
+    #: paths return ``(y, None)`` when this is set.
+    emit_stats: bool = False
 
     @nn.compact
     def __call__(self, x):
-        from exaspim_tpu.ops.nb_conv import Blocked, nb_conv3d
+        from exaspim_tpu.ops.nb_conv import (
+            Blocked,
+            nb_conv3d,
+            nb_conv3d_stats,
+        )
 
         blocked_in, cin_splits, (h, w) = _seg_info(x)
         cin = sum(cin_splits)
@@ -178,16 +187,35 @@ class Conv(nn.Module):
                 y = zero_row_halos(
                     y + jnp.tile(bias, 4).astype(self.dtype), w // 2
                 )
-            return Blocked(y, h, w)
+            yb = Blocked(y, h, w)
+            return (yb, None) if self.emit_stats else yb
         if blocked_in:
             from exaspim_tpu.ops.nb_conv import zero_row_halos
 
             segs = x if isinstance(x, (tuple, list)) else (x,)
-            yb = nb_conv3d(
-                tuple(s.data.astype(self.dtype) for s in segs),
-                k, h, w, cin_splits,
-                jax.default_backend() != "tpu",
-            )
+            xds = tuple(s.data.astype(self.dtype) for s in segs)
+            interp = jax.default_backend() != "tpu"
+            if self.emit_stats:
+                yb, s1, s2 = nb_conv3d_stats(
+                    xds, k, h, w, cin_splits, interp
+                )
+                if bias is not None:
+                    # Shift the fused sums by the bias algebraically
+                    # (Σ(y+β) = Σy + n·β; Σ(y+β)² = Σy² + 2βΣy + n·β²)
+                    # on the tiny (B, lanes) tensors instead of
+                    # re-reading the activation.
+                    bl = jnp.tile(bias, 4).astype(jnp.float32)[None, :]
+                    n_lane = jnp.float32(
+                        yb.shape[1] * (h // 2) * (w // 2)
+                    )
+                    s2 = s2 + 2.0 * bl * s1 + n_lane * bl * bl
+                    s1 = s1 + n_lane * bl
+                    yb = zero_row_halos(
+                        yb + jnp.tile(bias, 4).astype(self.dtype),
+                        w // 2,
+                    )
+                return Blocked(yb, h, w), (s1, s2)
+            yb = nb_conv3d(xds, k, h, w, cin_splits, interp)
             if bias is not None:
                 # Lanes hold 4 phase-interleaved channel copies; re-zero
                 # the resident halo rows the broadcast add just filled.
@@ -201,7 +229,7 @@ class Conv(nn.Module):
         )
         if bias is not None:
             y = y + bias.astype(self.dtype)
-        return y
+        return (y, None) if self.emit_stats else y
 
 
 class GroupNorm(nn.Module):
@@ -220,7 +248,7 @@ class GroupNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stats=None):
         from exaspim_tpu.ops.nb_conv import Blocked
 
         blocked = isinstance(x, Blocked)
@@ -241,7 +269,14 @@ class GroupNorm(nn.Module):
         nc = data.shape[-1]
         xf = data.astype(jnp.float32)
         red = tuple(range(1, xf.ndim - 1))
-        if blocked:
+        if blocked and stats is not None:
+            # Stats fused into the conv epilogue (nb_conv3d_stats):
+            # per-lane sums over the interior arrive precomputed, so
+            # this layer's own full-tensor stats read pass disappears.
+            n_true = data.shape[1] * x.m
+            s1 = stats[0] / n_true
+            s2 = stats[1] / n_true
+        elif blocked:
             # Halo-resident rows: the zeros don't perturb the SUMS, but
             # the count must be the true interior voxel count.
             n_true = data.shape[1] * x.m
@@ -302,6 +337,10 @@ class DoubleConv(nn.Module):
     #: shift GN cannot absorb exactly across a group). Native training
     #: stays bias-free (the bias is near-redundant and costs a fusion).
     use_bias: bool = False
+    #: fuse GroupNorm's stats reduction into the blocked conv epilogue
+    #: (execution detail, like ``blocked``): the conv emits per-lane
+    #: Σy/Σy² and GN skips its full-tensor stats read pass.
+    fuse_gn_stats: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -316,12 +355,16 @@ class DoubleConv(nn.Module):
                 x = Blocked.block(x.astype(self.dtype))
             elif not ok and is_b:
                 x = _ensure_array(x)
+            emit = self.fuse_gn_stats and ok
             x = Conv(channels, dtype=self.dtype,
-                     use_bias=self.use_bias)(x)
+                     use_bias=self.use_bias, emit_stats=emit)(x)
+            stats = None
+            if emit:
+                x, stats = x
             x = GroupNorm(
                 num_groups=_norm_groups(channels), dtype=self.dtype,
                 epsilon=1e-5,
-            )(x)
+            )(x, stats)
             x = _leaky(x)
         return x
 
@@ -480,6 +523,7 @@ class Up(nn.Module):
     align_corners: bool = False
     blocked: str = "auto"
     conv_bias: bool = False
+    fuse_gn_stats: bool = False
 
     @nn.compact
     def __call__(self, x, skip_x=None):
@@ -541,6 +585,7 @@ class Up(nn.Module):
         return DoubleConv(
             self.out_channels, mid_channels=mid, dtype=self.dtype,
             blocked=self.blocked, use_bias=self.conv_bias,
+            fuse_gn_stats=self.fuse_gn_stats,
         )(x)
 
 
@@ -582,6 +627,12 @@ class UNet(nn.Module):
     #: "never" forces plain XLA convs, "force" runs the blocked kernel
     #: in interpret mode off-TPU (equivalence tests only — slow).
     blocked: str = "auto"
+    #: GroupNorm stats fused into the blocked conv epilogue (execution
+    #: detail, NOT part of ``config``; only affects the blocked path).
+    #: Default on: measured faster and bitwise-stat-identical; the VJP
+    #: folds stats cotangents so training is exact too (ops/nb_conv.py
+    #: ``nb_conv3d_stats``; parity pinned by tests/test_nb_conv.py).
+    fuse_gn_stats: bool = True
 
     def _head_kernel_init(self):
         if self.head_init == "zeros":
@@ -629,17 +680,23 @@ class UNet(nn.Module):
                     else max_pool3d(s))
 
         cb = self.conv_bias
-        s1 = DoubleConv(c1, dtype=dt, blocked=bk, use_bias=cb)(x)
-        s2 = DoubleConv(c2, dtype=dt, blocked=bk, use_bias=cb)(pool(s1))
-        s3 = DoubleConv(c3, dtype=dt, blocked=bk, use_bias=cb)(pool(s2))
-        s4 = DoubleConv(c4, dtype=dt, blocked=bk, use_bias=cb)(pool(s3))
+        fs = self.fuse_gn_stats
+        s1 = DoubleConv(c1, dtype=dt, blocked=bk, use_bias=cb,
+                        fuse_gn_stats=fs)(x)
+        s2 = DoubleConv(c2, dtype=dt, blocked=bk, use_bias=cb,
+                        fuse_gn_stats=fs)(pool(s1))
+        s3 = DoubleConv(c3, dtype=dt, blocked=bk, use_bias=cb,
+                        fuse_gn_stats=fs)(pool(s2))
+        s4 = DoubleConv(c4, dtype=dt, blocked=bk, use_bias=cb,
+                        fuse_gn_stats=fs)(pool(s3))
         x = DoubleConv(
-            c5 // factor, dtype=dt, blocked=bk, use_bias=cb
+            c5 // factor, dtype=dt, blocked=bk, use_bias=cb,
+            fuse_gn_stats=fs,
         )(pool(s4))
         ac = self.align_corners
         up = functools.partial(
             Up, trilinear=self.trilinear, dtype=dt, align_corners=ac,
-            blocked=bk, conv_bias=cb,
+            blocked=bk, conv_bias=cb, fuse_gn_stats=fs,
         )
         x = up(c4 // factor)(x, s4)
         x = up(c3 // factor)(x, s3)
@@ -698,7 +755,7 @@ class N2V2UNet(UNet):
         ac = self.align_corners
         up = functools.partial(
             Up, trilinear=self.trilinear, dtype=dt, align_corners=ac,
-            blocked=bk, conv_bias=cb,
+            blocked=bk, conv_bias=cb, fuse_gn_stats=self.fuse_gn_stats,
         )
         x = up(c4 // factor)(x, s4)
         x = up(c3 // factor)(x, s3)
@@ -730,7 +787,8 @@ class N2V2UNet(UNet):
 MODEL_REGISTRY = {"UNet": UNet, "N2V2UNet": N2V2UNet}
 
 
-def build_model(config, dtype=jnp.float32, blocked="auto"):
+def build_model(config, dtype=jnp.float32, blocked="auto",
+                fuse_gn_stats=True):
     """Rebuild a model from its ``config`` dict (checkpoint round-trip).
 
     Unlike the reference's loader (which NameErrors on N2V2UNet
@@ -745,6 +803,7 @@ def build_model(config, dtype=jnp.float32, blocked="auto"):
     """
     cfg = dict(config)
     cfg["blocked"] = blocked
+    cfg["fuse_gn_stats"] = fuse_gn_stats
     name = cfg.pop("model", "UNet")
     if name not in MODEL_REGISTRY:
         raise ValueError(

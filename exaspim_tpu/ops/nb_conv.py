@@ -68,6 +68,7 @@ __all__ = [
     "from_blocked",
     "zero_row_halos",
     "nb_conv3d",
+    "nb_conv3d_stats",
     "supports_nb_conv",
     "nb_conv_vmem_ok",
 ]
@@ -354,7 +355,7 @@ def _build_panel_chunk(h2, w2, cin_splits, chunk, xrefs, acc):
         acc[:, row - lo_row:row - lo_row + width] = seg_data
 
 
-def _fwd_kernel(h2, w2, cin_splits, zb, d, *refs):
+def _fwd_kernel(h2, w2, cin_splits, zb, d, with_stats, *refs):
     """Slab-major forward: each input slab's im2col panel is built ONCE
     and contracted against the three z-tap weight sections, accumulating
     into the (up to three) output slices it influences — vs the naive
@@ -367,8 +368,21 @@ def _fwd_kernel(h2, w2, cin_splits, zb, d, *refs):
     dot is scaled by that view's validity — boundary taps vanish
     without a host-side pad copy. Rows arrive halo-resident (rp rows,
     zero halos); the output is written halo-resident too.
+
+    ``with_stats``: additionally emit per-lane Σy and Σy² of the
+    interior output rows (reduced over rows while the slab is still in
+    VMEM/registers), accumulated across the z grid into a tiny
+    (1, 8, lanes) f32 block per batch element — rows 0/1 hold Σy/Σy².
+    This is the GroupNorm stats-fusion epilogue: the normalization
+    layer downstream then skips its own full-tensor HBM read pass
+    (~1.4 ms per pass on the 64³ stages). Stats are computed from the
+    dtype-rounded output so fused and unfused GroupNorm see bitwise
+    identical statistics.
     """
-    *xrefs, wp, out, racc, acc = refs
+    if with_stats:
+        *xrefs, wp, out, sref, racc, acc = refs
+    else:
+        *xrefs, wp, out, racc, acc = refs
     m = h2 * w2
     base = _row_pad(w2)
     zi = pl.program_id(1)
@@ -399,9 +413,26 @@ def _fwd_kernel(h2, w2, cin_splits, zb, d, *refs):
                 else:
                     racc[zoff] = racc[zoff] + part
                 if tz == 2 and cls == nch3 - 1:  # last contribution
-                    out[0, zoff, base:base + m] = (
-                        racc[zoff].astype(out.dtype)
-                    )
+                    qc = racc[zoff].astype(out.dtype)
+                    out[0, zoff, base:base + m] = qc
+                    if with_stats:
+                        qf = qc.astype(jnp.float32)
+                        p1 = jnp.sum(qf, axis=0, keepdims=True)
+                        p2 = jnp.sum(qf * qf, axis=0, keepdims=True)
+                        if zoff == 0:
+                            # First completed slab of this grid step.
+                            @pl.when(zi == 0)
+                            def _(p1=p1, p2=p2):
+                                sref[0, 0:1] = p1
+                                sref[0, 1:2] = p2
+
+                            @pl.when(zi != 0)
+                            def _(p1=p1, p2=p2):
+                                sref[0, 0:1] = sref[0, 0:1] + p1
+                                sref[0, 1:2] = sref[0, 1:2] + p2
+                        else:
+                            sref[0, 0:1] = sref[0, 0:1] + p1
+                            sref[0, 1:2] = sref[0, 1:2] + p2
                     if v == zb + 1 and zoff == zb - 1:
                         # Once per grid step: zero the resident halos.
                         lo = out.shape[-1]
@@ -625,24 +656,33 @@ def _x_specs(m, w2, lanes_per_seg, n_seg, zb, d):
 
 
 def _grid_call(kernel, h2, w2, cin_splits, xbs, tail_in, out_shape,
-               out_spec, acc_dtype, interpret, zb):
+               out_spec, acc_dtype, interpret, zb, with_stats=False):
     b, d = xbs[0].shape[0], xbs[0].shape[1]
     m = h2 * w2
     k = _k_dim(cin_splits)
     n_seg = len(xbs)
     lanes = [4 * c for c in cin_splits]
+    lo = out_shape.shape[-1]
     # z-views, v-major / segment-minor (matches the kernels' lookup).
     ins = []
     for _v in range(zb + 2):
         ins.extend(xbs)
+    out_shapes, out_specs = out_shape, out_spec
+    if with_stats:
+        out_shapes = (out_shape,
+                      jax.ShapeDtypeStruct((b, 8, lo), jnp.float32))
+        out_specs = (out_spec, pl.BlockSpec(
+            (1, 8, lo), lambda bi, zi: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
     return pl.pallas_call(
-        functools.partial(kernel, h2, w2, cin_splits, zb, d),
-        out_shape=out_shape,
+        functools.partial(kernel, h2, w2, cin_splits, zb, d, with_stats),
+        out_shape=out_shapes,
         grid=(b, d // zb),
         in_specs=_x_specs(m, w2, lanes, n_seg, zb, d) + [tail_in[0]],
-        out_specs=out_spec,
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((zb, m, out_shape.shape[-1]), jnp.float32),
+            pltpu.VMEM((zb, m, lo), jnp.float32),
             pltpu.VMEM((m, k // _n_chunks(cin_splits)), acc_dtype),
         ],
         compiler_params=_compiler_params(interpret),
@@ -651,9 +691,11 @@ def _grid_call(kernel, h2, w2, cin_splits, xbs, tail_in, out_shape,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "cin_splits", "interpret")
+    jax.jit,
+    static_argnames=("h", "w", "cin_splits", "interpret", "with_stats"),
 )
-def _nb_conv_fwd(xs, k3, h, w, cin_splits, interpret=False):
+def _nb_conv_fwd(xs, k3, h, w, cin_splits, interpret=False,
+                 with_stats=False):
     h2, w2 = h // 2, w // 2
     m = h2 * w2
     rp = m + 2 * _row_pad(w2)
@@ -669,11 +711,15 @@ def _nb_conv_fwd(xs, k3, h, w, cin_splits, interpret=False):
                          memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, zb, rp, lo), lambda bi, zi: (bi, zi, 0, 0),
                             memory_space=pltpu.VMEM)
-    return _grid_call(
+    res = _grid_call(
         _fwd_kernel, h2, w2, cin_splits, xs, (wspec, wp),
         jax.ShapeDtypeStruct((b, d, rp, lo), dt), out_spec, dt, interpret,
-        zb,
+        zb, with_stats=with_stats,
     )
+    if not with_stats:
+        return res
+    out, sraw = res
+    return out, sraw[:, 0, :], sraw[:, 1, :]
 
 
 @functools.partial(
@@ -799,16 +845,11 @@ def _dw_xla(xs, g, k3, h, w, cin_splits):
     return jax.grad(fwd_ref)(jnp.zeros_like(k3, jnp.float32))
 
 
-def _vjp_bwd(h, w, cin_splits, interpret, res, g):
+def _bwd_from_g(h, w, cin_splits, interpret, xs, k3, g):
+    """Shared VJP tail: halo-masked cotangent ``g`` → (dxs, dk3)."""
     import os
 
-    xs, k3 = res
     cout = k3.shape[-1]
-    # The conv's halo-row outputs are constant zeros, so cotangents
-    # arriving there (e.g. through GroupNorm's global stats) have a
-    # zero Jacobian path — mask them before the transpose operator's
-    # shifted reads can ingest them. Elementwise → fuses upstream.
-    g = zero_row_halos(g, w // 2)
     # dL/dx: same operator, flipped taps, channels transposed. The
     # blocked layout is self-adjoint so dx comes out blocked, then is
     # split back onto the input segments.
@@ -839,4 +880,82 @@ def _vjp_bwd(h, w, cin_splits, interpret, res, g):
     return tuple(dxs), dk3.astype(k3.dtype)
 
 
+def _vjp_bwd(h, w, cin_splits, interpret, res, g):
+    xs, k3 = res
+    # The conv's halo-row outputs are constant zeros, so cotangents
+    # arriving there (e.g. through GroupNorm's global stats) have a
+    # zero Jacobian path — mask them before the transpose operator's
+    # shifted reads can ingest them. Elementwise → fuses upstream.
+    g = zero_row_halos(g, w // 2)
+    return _bwd_from_g(h, w, cin_splits, interpret, xs, k3, g)
+
+
 _nb_conv3d_core.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def nb_conv3d_stats(xs, k3, h, w, cin_splits, interpret=False):
+    """3³ SAME conv in blocked layout that ALSO emits per-lane output
+    statistics ``(out, s1, s2)``: ``s1[b, l] = Σ out[b, :, interior, l]``
+    and ``s2`` the matching Σout² (f32, computed from the dtype-rounded
+    output inside the kernel epilogue, reduced while the slab is in
+    VMEM).
+
+    The consumer is GroupNorm stats fusion (models/unet3d.py): the
+    normalization after each conv needs exactly these sums and
+    otherwise pays a full-tensor HBM read pass to recompute them —
+    ~15 ms of a 98 ms forward across the 64³ stages (RESULTS.md round
+    4b xplane breakdown; reference hot path being replaced:
+    reference unet3d.py:102-134/137-208).
+
+    Differentiable: the VJP folds the stats cotangents into the output
+    cotangent (``∂s1/∂y = 1``, ``∂s2/∂y = 2y``) before the shared
+    transpose, so training may use the fused path too. Accepts
+    halo-resident inputs only (``Blocked.data``, the production path).
+    """
+    m = (h // 2) * (w // 2)
+    if xs[0].shape[2] == m:  # bare m-row inputs → pad, slice back
+        p = _row_pad(w // 2)
+        xs = tuple(
+            jnp.pad(xb, ((0, 0), (0, 0), (p, p), (0, 0))) for xb in xs
+        )
+        out, s1, s2 = _nb_conv3d_stats_core(
+            xs, k3, h, w, cin_splits, interpret
+        )
+        return _interior(out, w // 2), s1, s2
+    return _nb_conv3d_stats_core(xs, k3, h, w, cin_splits, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _nb_conv3d_stats_core(xs, k3, h, w, cin_splits, interpret=False):
+    return _nb_conv_fwd(xs, k3, h, w, cin_splits, interpret,
+                        with_stats=True)
+
+
+def _stats_vjp_fwd(xs, k3, h, w, cin_splits, interpret):
+    out, s1, s2 = _nb_conv_fwd(xs, k3, h, w, cin_splits, interpret,
+                               with_stats=True)
+    # ``out`` is saved for the 2·y·ḡ_s2 term; it is the same tensor the
+    # downstream GroupNorm/activation consume, so XLA shares the buffer
+    # and the residual costs no extra HBM in a real training graph.
+    return (out, s1, s2), (xs, k3, out)
+
+
+def _stats_vjp_bwd(h, w, cin_splits, interpret, res, cots):
+    xs, k3, out = res
+    g_out, g_s1, g_s2 = cots
+    # Fold the stats cotangents into the output cotangent:
+    # ∂s1/∂y = 1 and ∂s2/∂y = 2y per interior element, broadcast over
+    # lanes. The broadcast would also land in the halo rows (whose
+    # primal is constant zero), so mask afterwards — zero_row_halos is
+    # elementwise and fuses with the adds.
+    gf = (
+        g_out.astype(jnp.float32)
+        + g_s1.astype(jnp.float32)[:, None, None, :]
+        + 2.0 * out.astype(jnp.float32)
+        * g_s2.astype(jnp.float32)[:, None, None, :]
+    )
+    g = zero_row_halos(gf.astype(g_out.dtype), w // 2)
+    return _bwd_from_g(h, w, cin_splits, interpret, xs, k3, g)
+
+
+_nb_conv3d_stats_core.defvjp(_stats_vjp_fwd, _stats_vjp_bwd)

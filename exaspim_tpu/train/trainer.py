@@ -70,7 +70,7 @@ class Trainer:
                  warmup_steps=0, max_val_examples=None, keep_mips=10,
                  tensorboard=True, mesh=None, device_cache="auto",
                  device_cache_budget=8 << 30, val_device_metrics=True,
-                 exact_cratio_examples=16):
+                 exact_cratio_examples=16, augment=False):
         self.model = model
         self.transform = transform
         self.lr = lr
@@ -124,6 +124,12 @@ class Trainer:
         #: host-oracle loop (parity/debug path).
         self.val_device_metrics = bool(val_device_metrics)
         self.exact_cratio_examples = int(exact_cratio_examples)
+        #: on-device data augmentation: each train step applies one of
+        #: the 48 cube orientations (flips × axis transposes) to the
+        #: gathered batch, deterministic in (seed, step). Free effective
+        #: data scale for isotropic volumes; device-cache mode only
+        #: (the gather already runs in-program), cubic patches only.
+        self.augment = bool(augment)
         self._val_metrics_fn = None
 
         stamp = datetime.now().strftime("%Y%m%d_%H%M")
@@ -215,23 +221,44 @@ class Trainer:
 
     # ------------------------------------------------- device-cache mode
 
-    def _cache_nbytes(self, ds):
-        return sum(
-            a.nbytes for field in ("_raw", "_teacher", "_fg")
-            for a in getattr(ds, field)
-        )
+    def _fg_needed(self):
+        """The cached step reads fg only when the loss weights it or the
+        foreground-preserving target rule is on; otherwise the mask
+        never needs to occupy HBM (−20 % cache bytes)."""
+        return self.preserve_foreground or self.fg_weight != 0
+
+    def _cache_nbytes(self, ds, resident=True):
+        """Bytes of HBM the cache will occupy (``resident=True``:
+        fg bit-packed when needed, absent when unused) or of the raw
+        host cache (``resident=False``)."""
+        raw_b = sum(a.nbytes for a in ds._raw)
+        teach_b = sum(a.nbytes for a in ds._teacher)
+        fg_b = sum(a.nbytes for a in ds._fg)
+        if resident:
+            fg_b = -(-fg_b // 8) if self._fg_needed() else 0
+        return raw_b + teach_b + fg_b
 
     def _resolve_device_cache(self, train_ds):
-        """Decide whether this run trains from an HBM-resident cache.
+        """Decide how this run trains from an HBM-resident cache.
 
-        ``device_cache="auto"`` silently falls back to the streaming
-        loader when caching does not apply; an explicit
-        ``device_cache=True`` raises instead — a forced mode that
-        cannot be honored must not quietly train a different path.
+        Returns 0 (stream through the DataLoader) or the shard count S:
+        S == 1 → the whole cache is device-resident for the run;
+        S > 1  → the cache exceeds ``device_cache_budget`` and rotates
+        through HBM one contiguous shard at a time (each epoch still
+        sees every patch; see ``run``). fg residency follows
+        ``_fg_needed``: bit-packed when the loss uses it, absent when
+        not — both leave the step stream numerically identical to the
+        loader path, so ``"auto"`` may engage them.
+
+        ``device_cache="auto"`` engages only full residency (S == 1)
+        and silently falls back to the streaming loader otherwise; an
+        explicit ``device_cache=True`` raises when it cannot be honored
+        at all, and shards when the cache merely exceeds the budget —
+        a forced mode must not quietly train a different path.
         """
         forced = self.device_cache is True
         if not self.device_cache:
-            return False
+            return 0
         if self.mesh is not None:
             if forced:
                 raise ValueError(
@@ -240,7 +267,7 @@ class Trainer:
                     "sharded host batches); use device_cache='auto' "
                     "or None"
                 )
-            return False
+            return 0
         if not all(hasattr(train_ds, f)
                    for f in ("_raw", "_teacher", "_fg")):
             # live/streaming dataset: no arrays to upload
@@ -250,7 +277,7 @@ class Trainer:
                     "in-memory (_raw, _teacher, _fg) arrays; a live/"
                     "streaming dataset cannot be device-resident"
                 )
-            return False
+            return 0
         n = len(train_ds)
         if n < self.batch_size:
             if forced:
@@ -258,19 +285,30 @@ class Trainer:
                     f"device_cache=True but the dataset ({n} patches) "
                     f"is smaller than batch_size ({self.batch_size})"
                 )
-            return False
-        fits = self._cache_nbytes(train_ds) <= self.device_cache_budget
+            return 0
+        nbytes = self._cache_nbytes(train_ds)
+        fits = nbytes <= self.device_cache_budget
         if self.device_cache == "auto":
             # Engage only when the step stream is identical to the
-            # loader path (no trailing partial batch to drop).
-            return fits and n % self.batch_size == 0
-        if not fits:
+            # loader path (no trailing partial batch to drop, no
+            # shard-local shuffle).
+            return 1 if fits and n % self.batch_size == 0 else 0
+        if fits:
+            return 1
+        # Forced + oversized: rotate shards through HBM. Each shard is
+        # a whole number of batches; the minimum honorable budget is
+        # one batch worth of rows.
+        row_b = nbytes / n
+        rows_per_shard = int(self.device_cache_budget // row_b)
+        batches_per_shard = rows_per_shard // self.batch_size
+        if batches_per_shard < 1:
             raise ValueError(
-                f"device_cache=True but the cache "
-                f"({self._cache_nbytes(train_ds)} B) exceeds "
-                f"device_cache_budget ({self.device_cache_budget} B)"
+                f"device_cache=True but device_cache_budget "
+                f"({self.device_cache_budget} B) cannot hold even one "
+                f"batch ({int(row_b) * self.batch_size} B)"
             )
-        return True
+        total_batches = n // self.batch_size
+        return -(-total_batches // batches_per_shard)
 
     # Host-side staging granularity for the cache upload: bounds the
     # transient host RAM at one chunk (instead of the whole memmap'd
@@ -278,22 +316,42 @@ class Trainer:
     # at final_size + one chunk (instead of ~2x for a concatenate).
     _UPLOAD_CHUNK_BYTES = 256 << 20
 
-    def _upload_cache(self, ds):
-        """Ship the full (raw, teacher, fg) cache to device HBM once.
+    @staticmethod
+    def _row_slices(parts, lo, hi):
+        """Yield contiguous host slices covering global rows [lo, hi)
+        across a multi-dir cache's list of memmaps."""
+        off = 0
+        for p in parts:
+            s, e = max(lo - off, 0), min(hi - off, p.shape[0])
+            if s < e:
+                yield p[s:e]
+            off += p.shape[0]
+
+    def _upload_cache(self, ds, lo=0, hi=None):
+        """Ship cache rows [lo, hi) of (raw, teacher[, fg]) to HBM.
 
         Streams chunk-by-chunk into one preallocated, donated device
         buffer: multi-GiB memmap caches upload without materializing a
-        shard on the host or double-buffering the cache in HBM.
+        shard on the host or double-buffering the cache in HBM. fg is
+        bit-packed on the host (8× smaller residency) when the loss
+        needs it and skipped entirely when it does not; the cached
+        train step unpacks after the batch gather
+        (:func:`exaspim_tpu.train.state.unpack_fg_bits`).
         """
         import jax.numpy as jnp
         from jax import lax
 
+        from exaspim_tpu.train.state import pack_fg_bits
+
+        hi = len(ds) if hi is None else hi
         t0 = time.time()
 
-        def up(parts):
-            n = sum(p.shape[0] for p in parts)
-            tail = parts[0].shape[1:]
-            buf = jnp.zeros((n, *tail), parts[0].dtype)
+        def up(parts, host_transform=None):
+            n = hi - lo
+            probe = parts[0][:1] if host_transform is None \
+                else host_transform(parts[0][:1])
+            tail, dtype = probe.shape[1:], probe.dtype
+            buf = jnp.zeros((n, *tail), dtype)
             write = jax.jit(
                 lambda b, s, o: lax.dynamic_update_slice(
                     b, s, (o,) + (0,) * len(tail)
@@ -301,25 +359,35 @@ class Trainer:
                 donate_argnums=0,
             )
             off = 0
-            for p in parts:
-                row_bytes = max(1, int(np.prod(tail)) * p.dtype.itemsize)
-                rows = max(1, self._UPLOAD_CHUNK_BYTES // row_bytes)
-                for lo in range(0, p.shape[0], rows):
-                    chunk = np.ascontiguousarray(p[lo:lo + rows])
+            row_bytes = max(
+                1, int(np.prod(parts[0].shape[1:]))
+                * parts[0].dtype.itemsize
+            )
+            rows = max(1, self._UPLOAD_CHUNK_BYTES // row_bytes)
+            for p in self._row_slices(parts, lo, hi):
+                for clo in range(0, p.shape[0], rows):
+                    chunk = np.ascontiguousarray(p[clo:clo + rows])
+                    if host_transform is not None:
+                        chunk = host_transform(chunk)
                     buf = write(buf, jax.device_put(chunk), off)
                     off += chunk.shape[0]
             return buf
 
-        out = tuple(
-            up(getattr(ds, f)) for f in ("_raw", "_teacher", "_fg")
-        )
-        jax.block_until_ready(out)
+        raw_dev = up(ds._raw)
+        teacher_dev = up(ds._teacher)
+        fg_dev = up(ds._fg, pack_fg_bits) if self._fg_needed() else None
+        jax.block_until_ready((raw_dev, teacher_dev)
+                              if fg_dev is None
+                              else (raw_dev, teacher_dev, fg_dev))
         self._log({
             "event": "device_cache_upload",
-            "bytes": self._cache_nbytes(ds),
+            "rows": [int(lo), int(hi)],
+            "bytes": int((hi - lo) / max(len(ds), 1)
+                         * self._cache_nbytes(ds)),
+            "fg": "packed" if fg_dev is not None else "skipped",
             "wall_s": round(time.time() - t0, 1),
         })
-        return out
+        return raw_dev, teacher_dev, fg_dev
 
     # -------------------------------------------------------------- run
 
@@ -343,7 +411,14 @@ class Trainer:
         val_loader = DataLoader(
             val_ds, self.batch_size, make_count_val_collate()
         )
-        use_dev_cache = self._resolve_device_cache(train_ds)
+        n_shards = self._resolve_device_cache(train_ds)
+        use_dev_cache = n_shards > 0
+        if self.augment and not use_dev_cache:
+            raise ValueError(
+                "augment=True requires device-cache mode (the "
+                "orientation draw runs inside the cached train step); "
+                "this run resolved to the streaming loader path"
+            )
         if use_dev_cache:
             steps_per_epoch = len(train_ds) // self.batch_size
         else:
@@ -387,10 +462,16 @@ class Trainer:
         elif use_dev_cache:
             from exaspim_tpu.train.state import make_cached_train_step
 
+            if self.augment and len(set(patch)) != 1:
+                raise ValueError(
+                    f"augment=True requires cubic patches, got {patch}"
+                )
             train_step = make_cached_train_step(
                 self.fg_weight, eps=self.loss_eps,
                 transform=self.transform,
                 preserve_foreground=self.preserve_foreground,
+                fg_packed=self._fg_needed(), augment=self.augment,
+                seed=self.seed, patch_shape=patch,
             )
         else:
             train_step = make_train_step(
@@ -404,6 +485,8 @@ class Trainer:
             "total_steps": total_steps,
             "steps_per_epoch": steps_per_epoch,
             "device_cache": bool(use_dev_cache),
+            "device_cache_shards": n_shards,
+            "augment": self.augment,
         })
 
         from exaspim_tpu.utils.profiling import StepTimer
@@ -436,7 +519,7 @@ class Trainer:
                     state, eval_step, val_loader, step
                 )
 
-        if use_dev_cache:
+        if use_dev_cache and n_shards == 1:
             import jax.numpy as jnp
 
             raw_dev, teacher_dev, fg_dev = self._upload_cache(train_ds)
@@ -454,6 +537,38 @@ class Trainer:
                         state, raw_dev, teacher_dev, fg_dev, idx
                     )
                     bookkeep(state, loss, epoch)
+        elif use_dev_cache:
+            # Shard rotation: the cache exceeds the HBM budget, so each
+            # epoch walks S contiguous shards, uploading one at a time
+            # (donated buffers; the previous shard is freed before the
+            # next upload). Every epoch still visits every patch;
+            # shuffling is shard-local (SeedSequence [seed, epoch, s]).
+            import jax.numpy as jnp
+
+            samples_per_epoch = steps_per_epoch * self.batch_size
+            shard_rows = -(-steps_per_epoch // n_shards) * self.batch_size
+            for epoch in range(start_epoch, self.epochs):
+                for s in range(n_shards):
+                    row_lo = s * shard_rows
+                    row_hi = min(samples_per_epoch, row_lo + shard_rows)
+                    if row_lo >= row_hi:
+                        break
+                    raw_dev, teacher_dev, fg_dev = self._upload_cache(
+                        train_ds, row_lo, row_hi
+                    )
+                    order = np.random.default_rng(
+                        np.random.SeedSequence([self.seed, epoch, s])
+                    ).permutation(row_hi - row_lo).astype(np.int32)
+                    for lo in range(0, len(order), self.batch_size):
+                        idx = jnp.asarray(order[lo:lo + self.batch_size])
+                        state, loss = train_step(
+                            state, raw_dev, teacher_dev, fg_dev, idx
+                        )
+                        bookkeep(state, loss, epoch)
+                    # Drain pending steps so the freed shard cannot
+                    # overlap the next upload in HBM.
+                    jax.block_until_ready(loss)
+                    del raw_dev, teacher_dev, fg_dev
         else:
             for epoch in range(start_epoch, self.epochs):
                 train_loader.set_epoch(epoch)

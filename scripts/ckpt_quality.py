@@ -25,6 +25,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("ckpts", nargs="+")
     p.add_argument("--block", type=int, default=256)
+    p.add_argument("--family", choices=("a", "b"), default="a",
+                   help="phantom family: a = bench default; b = denser/"
+                        "dimmer/wider-PSF/low-pedestal generalization "
+                        "probe (data/synthetic.py neurite_phantom_b)")
     p.add_argument("--seed-clean", type=int, default=0)
     p.add_argument("--seed-noise", type=int, default=1)
     args = p.parse_args(argv)
@@ -40,6 +44,7 @@ def main(argv=None):
     from exaspim_tpu.compression import best_codec, compute_cratio
     from exaspim_tpu.data.synthetic import (
         neurite_phantom,
+        neurite_phantom_b,
         noisy_observation,
     )
     from exaspim_tpu.inference import predict
@@ -49,12 +54,18 @@ def main(argv=None):
     from exaspim_tpu.transforms import build_transform
 
     b = args.block
-    clean, _ = neurite_phantom((b, b, b), n_tubes=24, seed=args.seed_clean)
+    if args.family == "a":
+        clean, _ = neurite_phantom(
+            (b, b, b), n_tubes=24, seed=args.seed_clean
+        )
+    else:
+        clean, _ = neurite_phantom_b((b, b, b), seed=args.seed_clean)
     img = noisy_observation(clean, seed=args.seed_noise)
     codec = best_codec(clevel=6)
     cr_noisy = compute_cratio(img, codec)
     drange = float(clean.max())
     base = {
+        "family": args.family,
         "cratio_noisy": cr_noisy,
         "psnr_noisy_db": round(
             float(psnr(img.astype(np.float32), clean, drange)), 2

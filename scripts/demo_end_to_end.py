@@ -37,6 +37,10 @@ def main(argv=None):
     p.add_argument("--bm4d-step", type=int, default=3,
                    help="BM4D reference-grid step for teacher generation "
                         "(3 = parity default; 4 = documented fast profile)")
+    p.add_argument("--augment", action="store_true",
+                   help="on-device 48-orientation augmentation during "
+                        "training (device-cache mode)")
+    p.add_argument("--device-cache-budget-gb", type=float, default=8.0)
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
@@ -93,6 +97,8 @@ def main(argv=None):
         fg_weight=args.fg_weight, loss_eps=args.loss_eps,
         val_every=200, seed=args.seed,
         width_multiplier=args.width, max_val_examples=8,
+        augment=args.augment,
+        device_cache_budget=int(args.device_cache_budget_gb * (1 << 30)),
     )
     t_train = time.time() - t0
 
@@ -137,6 +143,7 @@ def main(argv=None):
         "loss_eps": args.loss_eps,
         "sigma_bm4d": args.sigma_bm4d,
         "bm4d_step": args.bm4d_step,
+        "augment": args.augment,
     }
     summary["cratio_gain"] = round(
         summary["cratio_denoised"] / summary["cratio_raw"], 3

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--patch", type=int, default=64)
     ap.add_argument("--modes", nargs="*", default=["never", "auto"])
+    ap.add_argument("--fuse-gn", nargs="*", type=int, default=[1],
+                    help="fuse_gn_stats settings to measure per mode "
+                         "(e.g. --fuse-gn 0 1 for an A/B)")
     args = ap.parse_args()
     print("devices:", jax.devices())
     b, p = args.batch, args.patch
@@ -51,7 +54,9 @@ def main():
     vox = b * p ** 3
 
     for mode in args.modes:
-        model = UNet(width_multiplier=1.0, dtype=jnp.bfloat16, blocked=mode)
+      for fuse in args.fuse_gn:
+        model = UNet(width_multiplier=1.0, dtype=jnp.bfloat16, blocked=mode,
+                     fuse_gn_stats=bool(fuse))
         params = jax.jit(model.init)(jax.random.key(0), x)["params"]
 
         @jax.jit
@@ -83,7 +88,7 @@ def main():
             return jnp.sum(leaf.astype(jnp.float32)) + st.step
 
         t_tr = timed(train_chain, state, x, y, fg) / REPS
-        print(f"blocked={mode:5s}  fwd {t_fwd*1e3:7.1f} ms "
+        print(f"blocked={mode:5s} fuse_gn={fuse}  fwd {t_fwd*1e3:7.1f} ms "
               f"({vox/t_fwd/1e6:6.2f} Mvox/s)   train {t_tr*1e3:7.1f} ms "
               f"({vox/t_tr/1e6:6.2f} Mvox/s)")
 

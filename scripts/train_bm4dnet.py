@@ -46,7 +46,8 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
           val_every=1000, seed=42, width_multiplier=1.0, model_cfg=None,
           resume=None, bf16=True, checkpoint_weights=None,
           max_val_examples=None, data_parallel=False,
-          device_cache="auto", device_cache_budget=8 << 30):
+          device_cache="auto", device_cache_budget=8 << 30,
+          augment=False):
     """Run cache-only training; returns the Trainer."""
     transform_cfg = load_cache_transform(
         list(train_cache) + list(val_cache)
@@ -91,6 +92,7 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
         seed=seed, max_val_examples=max_val_examples, mesh=mesh,
         device_cache=device_cache,
         device_cache_budget=device_cache_budget,
+        augment=augment,
     )
     trainer.save_config({
         "train_cache": list(train_cache),
@@ -137,6 +139,10 @@ def main(argv=None):
                    help="HBM budget for the device-resident cache "
                         "(raise toward the chip's free HBM for bigger "
                         "caches; v5e has 16 GB)")
+    p.add_argument("--augment", action="store_true",
+                   help="on-device data augmentation: one of the 48 "
+                        "cube orientations per train step "
+                        "(device-cache mode, cubic patches)")
     args = p.parse_args(argv)
     if args.config_json:
         from exaspim_tpu.config import TrainConfig
@@ -167,6 +173,7 @@ def main(argv=None):
             args.device_cache
         ],
         device_cache_budget=int(args.device_cache_budget_gb * (1 << 30)),
+        augment=args.augment,
     )
 
 

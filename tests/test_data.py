@@ -247,3 +247,27 @@ def test_loader_process_pool_matches_thread_mode():
                 np.testing.assert_array_equal(a, b)
     finally:
         pool_loader.close()
+
+
+def test_second_phantom_family_distinct_operating_point():
+    """Family B (generalization probe) must differ from family A in
+    pedestal, intensity ceiling, and PSF sharpness — quality numbers
+    quoted on one family say nothing about the other."""
+    import numpy as np
+
+    from exaspim_tpu.data.synthetic import (
+        neurite_phantom,
+        neurite_phantom_b,
+        noisy_observation,
+    )
+
+    a, fg_a = neurite_phantom((48, 48, 48), n_tubes=6, seed=1)
+    b, fg_b = neurite_phantom_b((48, 48, 48), seed=1)
+    assert b.min() < a.min()            # lower background pedestal
+    assert b.max() < a.max()            # dimmer processes
+    assert fg_b.any() and fg_a.any()
+    obs = noisy_observation(b, seed=2)
+    assert obs.dtype == np.uint16 and obs.shape == b.shape
+    # Deterministic in seed.
+    b2, _ = neurite_phantom_b((48, 48, 48), seed=1)
+    np.testing.assert_array_equal(b, b2)

@@ -307,3 +307,102 @@ def test_vmem_gates():
     # program the binding footprint even when the forward fits.
     wide = nb_conv_vmem_ok(256, 256, (32,), 1024)
     assert not wide
+
+
+def test_nb_conv_stats_matches_explicit_sums():
+    """nb_conv3d_stats: identical output to nb_conv3d, and the fused
+    per-lane sums equal explicit interior reductions (round-5 GN-stats
+    epilogue fusion — the conv emits Σy/Σy² so GroupNorm skips its
+    stats read pass)."""
+    from exaspim_tpu.ops.nb_conv import (
+        Blocked, _interior, nb_conv3d, nb_conv3d_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    B, D, H, W, C, CO = 2, 4, 16, 16, 32, 32
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, C)).astype(np.float32))
+    k = jnp.asarray(
+        rng.normal(size=(3, 3, 3, C, CO)).astype(np.float32) * 0.1
+    )
+    xb = Blocked.block(x)
+    out_ref = nb_conv3d((xb.data,), k, H, W, (C,), interpret=True)
+    out, s1, s2 = nb_conv3d_stats((xb.data,), k, H, W, (C,),
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
+    oi = np.asarray(_interior(out, W // 2)).astype(np.float64)
+    np.testing.assert_allclose(np.asarray(s1), oi.sum((1, 2)),
+                               rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2), (oi * oi).sum((1, 2)),
+                               rtol=2e-4, atol=1e-3)
+
+
+def test_nb_conv_stats_vjp_matches_composed_reference():
+    """Gradients through (out, s1, s2) must equal differentiating the
+    plain conv with explicitly computed sums — the stats cotangents are
+    folded into the output cotangent (∂s1/∂y=1, ∂s2/∂y=2y)."""
+    from exaspim_tpu.ops.nb_conv import (
+        Blocked, _interior, nb_conv3d, nb_conv3d_stats,
+    )
+
+    rng = np.random.default_rng(12)
+    B, D, H, W, C, CO = 1, 4, 16, 16, 32, 32
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, C)).astype(np.float32))
+    k = jnp.asarray(
+        rng.normal(size=(3, 3, 3, C, CO)).astype(np.float32) * 0.1
+    )
+    xb = Blocked.block(x)
+
+    def f_fused(xd, kk):
+        o, a, b2 = nb_conv3d_stats((xd,), kk, H, W, (C,), interpret=True)
+        return (jnp.sum(o.astype(jnp.float32) ** 2) * 1e-3
+                + jnp.sum(a * 1.7) + jnp.sum(b2 * 0.3))
+
+    def f_ref(xd, kk):
+        o = nb_conv3d((xd,), kk, H, W, (C,), interpret=True)
+        oi = _interior(o, W // 2).astype(jnp.float32)
+        return (jnp.sum(o.astype(jnp.float32) ** 2) * 1e-3
+                + jnp.sum(oi.sum((1, 2)) * 1.7)
+                + jnp.sum((oi * oi).sum((1, 2)) * 0.3))
+
+    g1 = jax.grad(f_fused, argnums=(0, 1))(xb.data, k)
+    g2 = jax.grad(f_ref, argnums=(0, 1))(xb.data, k)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-3)
+
+
+def test_unet_fused_gn_stats_matches_unfused():
+    """Full UNet with GN-stats fusion on == off (forward AND grads):
+    the fused statistics are computed from the same dtype-rounded conv
+    output, so only f32 summation order differs."""
+    import jax.numpy as jnp
+
+    from exaspim_tpu.models import UNet
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(
+        rng.normal(0.5, 0.1, (1, 8, 64, 64, 1)).astype(np.float32)
+    )
+    m_off = UNet(width_multiplier=0.5, head_init="normal",
+                 blocked="force", fuse_gn_stats=False)
+    m_on = UNet(width_multiplier=0.5, head_init="normal",
+                blocked="force", fuse_gn_stats=True)
+    params = m_off.init(jax.random.key(0), x)
+    y_off = m_off.apply(params, x)
+    y_on = m_on.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_on), np.asarray(y_off), atol=2e-4, rtol=2e-4
+    )
+
+    def loss(m):
+        def f(p):
+            return jnp.mean((m.apply(p, x) - 0.4) ** 2)
+        return f
+
+    g_off = jax.grad(loss(m_off))(params)
+    g_on = jax.grad(loss(m_on))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_on),
+                    jax.tree_util.tree_leaves(g_off)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-3)

@@ -288,23 +288,26 @@ def test_device_cache_auto_gating(tmp_path, tiny_caches):
 
     tr = Trainer(os.path.join(tmp_path, "a"), UNet(**SMALL), t,
                  epochs=1, batch_size=3, tensorboard=False)
-    assert tr._resolve_device_cache(train_ds) is False  # 8 % 3 != 0
+    assert tr._resolve_device_cache(train_ds) == 0  # 8 % 3 != 0
 
     tr = Trainer(os.path.join(tmp_path, "b"), UNet(**SMALL), t,
                  epochs=1, batch_size=4, tensorboard=False,
                  device_cache_budget=1024)
-    assert tr._resolve_device_cache(train_ds) is False  # over budget
+    assert tr._resolve_device_cache(train_ds) == 0  # over budget
 
+    # Forced + budget too small for even one batch must raise; forced
+    # with room for at least a batch shards instead (see
+    # test_device_cache_shard_rotation).
     tr = Trainer(os.path.join(tmp_path, "c"), UNet(**SMALL), t,
                  epochs=1, batch_size=4, tensorboard=False,
                  device_cache=True, device_cache_budget=1024)
-    with pytest.raises(ValueError, match="exceeds"):
+    with pytest.raises(ValueError, match="one batch"):
         tr._resolve_device_cache(train_ds)
 
     tr = Trainer(os.path.join(tmp_path, "d"), UNet(**SMALL), t,
                  epochs=1, batch_size=4, tensorboard=False,
                  device_cache=False)
-    assert tr._resolve_device_cache(train_ds) is False
+    assert tr._resolve_device_cache(train_ds) == 0
 
 
 def test_device_cache_forced_raises_when_unhonorable(tmp_path, tiny_caches):
@@ -334,13 +337,17 @@ def test_device_cache_forced_raises_when_unhonorable(tmp_path, tiny_caches):
     tr = Trainer(os.path.join(tmp_path, "auto"), UNet(**SMALL), t,
                  epochs=1, batch_size=64, tensorboard=False,
                  device_cache="auto")
-    assert tr._resolve_device_cache(train_ds) is False
-    assert tr._resolve_device_cache(_Live()) is False
+    assert tr._resolve_device_cache(train_ds) == 0
+    assert tr._resolve_device_cache(_Live()) == 0
 
 
 def test_upload_cache_chunked_matches_whole(tmp_path, tiny_caches):
     """The chunked streaming upload must produce the same device arrays
-    as a plain concatenate, including across the chunk boundary."""
+    as a plain concatenate, including across the chunk boundary; fg is
+    skipped when the loss never reads it (fg_weight=0, the production
+    operating point) and bit-packed when it does."""
+    from exaspim_tpu.train.state import unpack_fg_bits
+
     train_dir, _ = tiny_caches
     t = build_transform(TCFG)
     ds = CachedPatchDataset(train_dir)
@@ -352,5 +359,54 @@ def test_upload_cache_chunked_matches_whole(tmp_path, tiny_caches):
         np.asarray(raw_dev), np.concatenate(ds._raw, axis=0))
     np.testing.assert_array_equal(
         np.asarray(teacher_dev), np.concatenate(ds._teacher, axis=0))
+    assert fg_dev is None  # fg_weight=0: mask never occupies HBM
+
+    tr2 = Trainer(os.path.join(tmp_path, "u2"), UNet(**SMALL), t,
+                  epochs=1, batch_size=4, tensorboard=False,
+                  fg_weight=20.0)
+    tr2._UPLOAD_CHUNK_BYTES = 3 * ds._raw[0][0].nbytes
+    _, _, fg_packed = tr2._upload_cache(ds)
+    assert fg_packed.dtype == np.uint8
     np.testing.assert_array_equal(
-        np.asarray(fg_dev), np.concatenate(ds._fg, axis=0))
+        np.asarray(unpack_fg_bits(fg_packed, ds.patch_shape)),
+        np.concatenate(ds._fg, axis=0),
+    )
+
+    # Row-ranged upload (the shard-rotation path) slices correctly
+    # across the multi-dir boundary.
+    raw_mid, teacher_mid, _ = tr._upload_cache(ds, 2, 7)
+    np.testing.assert_array_equal(
+        np.asarray(raw_mid), np.concatenate(ds._raw, axis=0)[2:7])
+
+
+def test_device_cache_shard_rotation(tmp_path, tiny_caches):
+    """A forced device cache bigger than the budget rotates shards:
+    every patch is still visited each epoch and training completes."""
+    import json
+
+    train_dir, val_dir = tiny_caches
+    t = build_transform(TCFG)
+    ds = CachedPatchDataset(train_dir)
+    # per-row resident bytes: raw + teacher (fg skipped at fg_weight=0)
+    row_b = ds._raw[0][0].nbytes + ds._teacher[0][0].nbytes
+    trainer = Trainer(
+        os.path.join(tmp_path, "shards"), UNet(**SMALL), t, lr=1e-3,
+        epochs=2, batch_size=2, val_every=100, seed=7,
+        tensorboard=False, keep_mips=0, device_cache=True,
+        device_cache_budget=4 * row_b + 1,  # 2 batches per shard
+    )
+    n_shards = trainer._resolve_device_cache(ds)
+    assert n_shards == 2
+    trainer.run(ds, CachedValidateDataset(val_dir))
+    cfg = json.load(
+        open(os.path.join(trainer.session_dir, "config.json"))
+    )
+    assert cfg["device_cache_shards"] == 2
+    uploads = [
+        json.loads(line)
+        for line in open(os.path.join(trainer.session_dir, "log.jsonl"))
+        if json.loads(line).get("event") == "device_cache_upload"
+    ]
+    rows = sorted(tuple(u["rows"]) for u in uploads)
+    # 2 epochs x 2 shards, covering all 8 rows each epoch
+    assert rows == [(0, 4), (0, 4), (4, 8), (4, 8)]
