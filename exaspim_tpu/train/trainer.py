@@ -70,7 +70,8 @@ class Trainer:
                  warmup_steps=0, max_val_examples=None, keep_mips=10,
                  tensorboard=True, mesh=None, device_cache="auto",
                  device_cache_budget=8 << 30, val_device_metrics=True,
-                 exact_cratio_examples=16, augment=False):
+                 exact_cratio_examples=16, augment=False,
+                 full_state_every=1):
         self.model = model
         self.transform = transform
         self.lr = lr
@@ -130,6 +131,15 @@ class Trainer:
         #: data scale for isotropic volumes; device-cache mode only
         #: (the gather already runs in-program), cubic patches only.
         self.augment = bool(augment)
+        #: write the rolling full-state resume checkpoint
+        #: (``latest_state.ckpt``, params + optimizer moments, ~3× a
+        #: scored checkpoint) every Nth validation instead of every
+        #: one. On a slow device→host link the full-state fetch
+        #: dominates the validation cycle (measured ~100 s of a ~120 s
+        #: cycle on this harness's tunnel); resume granularity degrades
+        #: to N·val_every steps, which a cheap re-run covers.
+        self.full_state_every = max(1, int(full_state_every))
+        self._n_validations = 0
         self._val_metrics_fn = None
 
         stamp = datetime.now().strftime("%Y%m%d_%H%M")
@@ -748,11 +758,14 @@ class Trainer:
             step=step, score=metrics["val_score"],
             extra={"metrics": metrics},
         )
-        # Rolling full-state checkpoint for elastic resume.
-        save_train_state(
-            os.path.join(self.ckpt_dir, "latest_state.ckpt"), state,
-            self.model.config, self.transform.cfg,
-        )
+        # Rolling full-state checkpoint for elastic resume (throttled
+        # by full_state_every — see __init__).
+        self._n_validations += 1
+        if self._n_validations % self.full_state_every == 0:
+            save_train_state(
+                os.path.join(self.ckpt_dir, "latest_state.ckpt"), state,
+                self.model.config, self.transform.cfg,
+            )
         return metrics, path
 
     # ---------------------------------------------------------- logging

@@ -63,7 +63,7 @@ def main(argv=None):
         clean, _ = neurite_phantom((n, n, n), n_tubes=24 * n // 256, seed=0)
         noisy = noisy_observation(clean, seed=1)
         del clean
-        img_io.write_zarr(src_path, noisy[None, None])
+        img_io.write_zarr(noisy[None, None], src_path)
         del noisy
 
     ckpt = os.path.join(

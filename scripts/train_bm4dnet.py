@@ -47,7 +47,7 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
           resume=None, bf16=True, checkpoint_weights=None,
           max_val_examples=None, data_parallel=False,
           device_cache="auto", device_cache_budget=8 << 30,
-          augment=False):
+          augment=False, full_state_every=1):
     """Run cache-only training; returns the Trainer."""
     transform_cfg = load_cache_transform(
         list(train_cache) + list(val_cache)
@@ -92,7 +92,7 @@ def train(train_cache, val_cache, output_dir, *, epochs=50, batch_size=32,
         seed=seed, max_val_examples=max_val_examples, mesh=mesh,
         device_cache=device_cache,
         device_cache_budget=device_cache_budget,
-        augment=augment,
+        augment=augment, full_state_every=full_state_every,
     )
     trainer.save_config({
         "train_cache": list(train_cache),
@@ -143,6 +143,10 @@ def main(argv=None):
                    help="on-device data augmentation: one of the 48 "
                         "cube orientations per train step "
                         "(device-cache mode, cubic patches)")
+    p.add_argument("--full-state-every", type=int, default=1,
+                   help="write the full-state resume checkpoint every "
+                        "Nth validation (the ~155 MB device-to-host "
+                        "fetch dominates validation on slow links)")
     args = p.parse_args(argv)
     if args.config_json:
         from exaspim_tpu.config import TrainConfig
@@ -173,7 +177,7 @@ def main(argv=None):
             args.device_cache
         ],
         device_cache_budget=int(args.device_cache_budget_gb * (1 << 30)),
-        augment=args.augment,
+        augment=args.augment, full_state_every=args.full_state_every,
     )
 
 

@@ -410,3 +410,27 @@ def test_device_cache_shard_rotation(tmp_path, tiny_caches):
     rows = sorted(tuple(u["rows"]) for u in uploads)
     # 2 epochs x 2 shards, covering all 8 rows each epoch
     assert rows == [(0, 4), (0, 4), (4, 8), (4, 8)]
+
+
+def test_full_state_every_throttles_resume_checkpoint(tmp_path,
+                                                      tiny_caches):
+    """full_state_every=N writes latest_state.ckpt on every Nth
+    validation only (the full-state fetch dominates validation cycles
+    on slow device-to-host links)."""
+    train_dir, val_dir = tiny_caches
+    t = build_transform(TCFG)
+    trainer = Trainer(
+        os.path.join(tmp_path, "fse"), UNet(**SMALL), t, lr=1e-3,
+        epochs=3, batch_size=4, val_every=2, seed=7,
+        tensorboard=False, keep_mips=0, full_state_every=3,
+    )
+    trainer.run(
+        CachedPatchDataset(train_dir), CachedValidateDataset(val_dir)
+    )
+    latest = os.path.join(trainer.ckpt_dir, "latest_state.ckpt")
+    scored = glob.glob(os.path.join(trainer.ckpt_dir, "BM4DNet-*.ckpt"))
+    # 3 epochs x 2 steps/epoch at val_every=2 -> 3 validations: scored
+    # checkpoints every time, the full state only on the 3rd.
+    assert len(scored) == 3
+    assert os.path.exists(latest)
+    assert trainer._n_validations == 3
