@@ -41,6 +41,9 @@ def main(argv=None):
                    help="on-device 48-orientation augmentation during "
                         "training (device-cache mode)")
     p.add_argument("--device-cache-budget-gb", type=float, default=8.0)
+    p.add_argument("--full-state-every", type=int, default=4,
+                   help="write the full-state resume checkpoint every "
+                        "Nth validation (slow device-to-host links)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
@@ -99,6 +102,7 @@ def main(argv=None):
         width_multiplier=args.width, max_val_examples=8,
         augment=args.augment,
         device_cache_budget=int(args.device_cache_budget_gb * (1 << 30)),
+        full_state_every=args.full_state_every,
     )
     t_train = time.time() - t0
 
