@@ -31,6 +31,15 @@ def main(argv=None):
                         "probe (data/synthetic.py neurite_phantom_b)")
     p.add_argument("--seed-clean", type=int, default=0)
     p.add_argument("--seed-noise", type=int, default=1)
+    p.add_argument("--volume-offset", choices=("none", "auto"),
+                   default="none",
+                   help="'auto' mirrors the production per-volume "
+                        "pedestal calibration (reference "
+                        "inference.py:302-339 / evaluate_bm4dnet "
+                        "background_offset): the frozen transform is "
+                        "composed with the DELTA between this volume's "
+                        "estimated background and the estimate on the "
+                        "family the transform was calibrated for")
     args = p.parse_args(argv)
 
     import jax
@@ -80,6 +89,20 @@ def main(argv=None):
         ckpt = load_checkpoint(path)
         model = build_model(ckpt["model_config"], dtype=jnp.bfloat16)
         transform = build_transform(ckpt["transform"])
+        if args.volume_offset == "auto":
+            from exaspim_tpu.transforms import estimate_offset, with_offset
+
+            # Calibration transfer: the same estimator on this volume
+            # and on the training family's observation model; their
+            # difference is the per-volume pedestal shift.
+            ref_clean, _ = neurite_phantom(
+                (64, 64, 64), n_tubes=2, seed=args.seed_clean
+            )
+            est_train = estimate_offset(
+                noisy_observation(ref_clean, seed=args.seed_noise)
+            )
+            delta = estimate_offset(img) - est_train
+            transform = with_offset(transform, delta)
         out = predict(
             img, model, ckpt["params"], transform, patch_size="auto"
         )
