@@ -378,6 +378,24 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
     rows_shape = (Z - B + 1, Y - B + 1, X - B + 1)
     rz, ry, rx = rows_shape
     nrow = B * B * B + 1
+    if agg == "sorted":
+        # Sort + sorted segment-sum aggregation (the round-4 verdict's
+        # one untried structural alternative to the chunked random-row
+        # scatter): linearize destinations, argsort the R·K keys,
+        # gather rows by the permutation, reduce runs of equal keys
+        # with ``indices_are_sorted=True``. Measured on-chip at 128³
+        # (scripts/agg_ab.py + in-situ two-stage A/B, RESULTS.md round
+        # 5c) — kept as an option; the default records the measured
+        # winner.
+        keys = ((sz * ry) + sy).reshape(-1) * rx + sx.reshape(-1)
+        perm = jnp.argsort(keys)
+        acc_rows = jax.ops.segment_sum(
+            filt_rows.reshape(-1, nrow)[perm], keys[perm],
+            num_segments=rz * ry * rx, indices_are_sorted=True,
+        ).reshape(rz, ry, rx, nrow)
+        return _fold_rows(
+            acc_rows, "slices", B, Z, Y, X, Z0, Y0, X0, nrow
+        )
     nchunks = max(
         1,
         int(np.ceil(rz * ry * rx * nrow * 4 / _SCATTER_CHUNK_BYTES)),
@@ -408,8 +426,11 @@ def bm4d_stage(noisy, guide, sigma, block=4, group=16, step=3, search=9,
     acc_rows = (
         parts[0] if nchunks == 1 else jnp.concatenate(parts, axis=0)
     )
+    return _fold_rows(acc_rows, agg, B, Z, Y, X, Z0, Y0, X0, nrow)
 
-    # Fold rows back to voxel space: out[v] = Σ_δ rows[v − δ, flat(δ)].
+
+def _fold_rows(acc_rows, agg, B, Z, Y, X, Z0, Y0, X0, nrow):
+    """Fold rows back to voxel space: out[v] = Σ_δ rows[v − δ, flat(δ)]."""
     if agg == "conv":
         # One conv: out channel 0 is the value col2im; channel 1 folds
         # the augmented weight channel with an all-taps kernel (every
