@@ -31,11 +31,20 @@ sys.path.insert(
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--n", type=int, default=512)
+    p.add_argument("--shape", type=int, nargs=3,
+                   help="volume shape override (z y x); the 3-axis "
+                        "streaming case is a wide-plane anisotropic "
+                        "volume (ExaSPIM tiles are wide in y/x), not a "
+                        "cube — on a cube the patch-wide halos dwarf "
+                        "the cores")
     p.add_argument("--out", default="/tmp/pipe_bench")
     p.add_argument("--slab-z", type=int, default=256)
-    p.add_argument("--max-block-voxels", type=int, default=96 * 256 * 256,
-                   help="forced-small block for the 3-axis streaming run")
+    p.add_argument("--max-block-voxels", type=int,
+                   default=64 * 600 * 600,
+                   help="forced block bound for the 3-axis streaming "
+                        "run")
     p.add_argument("--skip-small", action="store_true")
+    p.add_argument("--skip-slabs", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -56,11 +65,16 @@ def main(argv=None):
     from exaspim_tpu.utils import img_io
 
     os.makedirs(args.out, exist_ok=True)
+    shape = tuple(args.shape) if args.shape else (args.n,) * 3
     n = args.n
-    src_path = os.path.join(args.out, "noisy.zarr")
+    nvox = shape[0] * shape[1] * shape[2]
+    tag = "x".join(map(str, shape))
+    src_path = os.path.join(args.out, f"noisy_{tag}.zarr")
     if not os.path.exists(src_path):
-        print(f"# building {n}^3 phantom + local zarr …", flush=True)
-        clean, _ = neurite_phantom((n, n, n), n_tubes=24 * n // 256, seed=0)
+        print(f"# building {tag} phantom + local zarr …", flush=True)
+        clean, _ = neurite_phantom(
+            shape, n_tubes=max(4, 24 * nvox // 256 ** 3), seed=0
+        )
         noisy = noisy_observation(clean, seed=1)
         del clean
         img_io.write_zarr(noisy[None, None], src_path)
@@ -72,8 +86,13 @@ def main(argv=None):
     )
     model, params, transform = restore_pipeline(ckpt, dtype=jnp.bfloat16)
 
-    results = {"n": n}
-    runs = [("default_slabs", dict(slab_z=args.slab_z))]
+    results = {"shape": list(shape)}
+    # default_slabs runs twice: the first pays XLA compiles (cold,
+    # first-brain cost), the second is the steady-state production
+    # number (a whole-brain run streams thousands of such volumes).
+    runs = [] if args.skip_slabs else [
+        ("default_slabs_cold", dict(slab_z=args.slab_z)),
+        ("default_slabs_warm", dict(slab_z=args.slab_z))]
     if not args.skip_small:
         runs.append((
             "forced_3axis",
@@ -81,7 +100,9 @@ def main(argv=None):
                  max_block_voxels=args.max_block_voxels),
         ))
     for name, kw in runs:
-        out_path = os.path.join(args.out, f"denoised_{name}.zarr")
+        out_path = os.path.join(args.out, "denoised_" +
+                                name.replace("_cold", "").replace(
+                                    "_warm", "") + ".zarr")
         t0 = time.time()
         denoise_volume(
             src_path, model, params, transform, output_path=out_path,
@@ -90,14 +111,14 @@ def main(argv=None):
         dt = time.time() - t0
         results[name] = {
             "wall_s": round(dt, 1),
-            "mvox_per_s": round(n ** 3 / dt / 1e6, 2),
+            "mvox_per_s": round(nvox / dt / 1e6, 2),
         }
         print(json.dumps({name: results[name]}), flush=True)
 
     # Name the bound: device-resident rate on one representative block
     # of the default plan (same program), vs the end-to-end number.
     src = img_io.read(src_path)
-    zb = min(args.slab_z + 64, n)
+    zb = min(args.slab_z + 64, shape[0])
     block = np.asarray(src[(Ellipsis, slice(0, zb))][0, 0]) \
         if len(src.shape) == 5 else np.asarray(src[:zb])
     if block.ndim == 5:
@@ -126,7 +147,9 @@ def main(argv=None):
     }
 
     codec = best_codec(clevel=6)
-    out_path = os.path.join(args.out, "denoised_default_slabs.zarr")
+    out_name = ("denoised_default_slabs.zarr" if not args.skip_slabs
+                else "denoised_forced_3axis.zarr")
+    out_path = os.path.join(args.out, out_name)
     den = np.asarray(img_io.read(out_path)[...])[0, 0]
     noisy = np.asarray(img_io.read(src_path)[...])[0, 0]
     results["cratio_noisy"] = compute_cratio(noisy, codec)
@@ -135,7 +158,7 @@ def main(argv=None):
         results["cratio_denoised"] / results["cratio_noisy"], 3
     )
     print(json.dumps(results), flush=True)
-    with open(os.path.join(args.out, "results.json"), "w") as f:
+    with open(os.path.join(args.out, f"results_{tag}.json"), "w") as f:
         json.dump(results, f, indent=2)
 
 
