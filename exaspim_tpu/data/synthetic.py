@@ -125,12 +125,20 @@ class SyntheticPatchDataset:
     fields = ("raw", "teacher", "fg")
 
     def __init__(self, n=64, patch_shape=(64, 64, 64), seed=42,
-                 sigma_bm4d=16.0, use_bm4d_teacher=False):
+                 sigma_bm4d=16.0, use_bm4d_teacher=False, family="a"):
         self.n = int(n)
         self.patch_shape = tuple(patch_shape)
         self.seed = seed
         self.sigma_bm4d = sigma_bm4d
         self.use_bm4d_teacher = use_bm4d_teacher
+        #: phantom family: "a" (bench default), "b"
+        #: (:func:`neurite_phantom_b`), or "mix" — alternating per
+        #: index, still deterministic, for multi-domain training
+        #: (round-5 finding: single-family training does not transfer
+        #: its compression gain off-family).
+        if family not in ("a", "b", "mix"):
+            raise ValueError(f"unknown phantom family {family!r}")
+        self.family = family
 
     def __len__(self):
         return self.n
@@ -140,10 +148,18 @@ class SyntheticPatchDataset:
         consumers generate teachers with :func:`…ops.bm4d.bm4d_batch`."""
         ss = np.random.SeedSequence([self.seed, index])
         s1, s2 = ss.spawn(2)
-        clean, fg = neurite_phantom(
-            self.patch_shape, n_tubes=4,
-            seed=int(s1.generate_state(1)[0]),
-        )
+        fam = self.family
+        if fam == "mix":
+            fam = "a" if index % 2 == 0 else "b"
+        if fam == "b":
+            clean, fg = neurite_phantom_b(
+                self.patch_shape, seed=int(s1.generate_state(1)[0])
+            )
+        else:
+            clean, fg = neurite_phantom(
+                self.patch_shape, n_tubes=4,
+                seed=int(s1.generate_state(1)[0]),
+            )
         raw = noisy_observation(
             clean, seed=int(s2.generate_state(1)[0])
         )

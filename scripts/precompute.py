@@ -46,7 +46,8 @@ def _seed_task(seed, stream, index):
 
 def precompute(out_dir, split="train", source="synthetic", config=None,
                n=500, patch=(64, 64, 64), sigma_bm4d=24.0, seed=42,
-               transform_cfg=None, check_incoherence=True, bm4d_step=3):
+               transform_cfg=None, check_incoherence=True, bm4d_step=3,
+               family="a"):
     """Generate ``n`` patches into ``out_dir`` fulfilling the cache
     contract."""
     transform_cfg = transform_cfg or DEFAULT_TRANSFORM
@@ -64,6 +65,7 @@ def precompute(out_dir, split="train", source="synthetic", config=None,
         "patch_shape": list(patch), "sigma_bm4d": sigma_bm4d,
         "bm4d_step": int(bm4d_step),
         "seed": seed, "seed_stream": stream,
+        "family": family,
         "check_incoherence": check_incoherence,
         "transform": transform_cfg, "count_dtype": "uint16",
         "brains_config": config,
@@ -79,6 +81,7 @@ def precompute(out_dir, split="train", source="synthetic", config=None,
         ds = SyntheticPatchDataset(
             n=n, patch_shape=patch, seed=seed + stream,
             sigma_bm4d=sigma_bm4d, use_bm4d_teacher=True,
+            family=family,
         )
 
         # Teachers in device batches: one bm4d_batch call denoises
@@ -159,6 +162,11 @@ def main(argv=None):
                         "teacher throughput, −7%% RMSE gain — see "
                         "RESULTS.md)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--family", choices=("a", "b", "mix"), default="a",
+                   help="synthetic phantom family: a = bench default, "
+                        "b = denser/dimmer/wider-PSF/low-pedestal, "
+                        "mix = alternate per index (multi-domain "
+                        "training)")
     p.add_argument("--transform-json",
                    help="path to a frozen transform cfg JSON")
     args = p.parse_args(argv)
@@ -170,7 +178,7 @@ def main(argv=None):
         args.out, split=args.split, source=args.source,
         config=args.config, n=args.n, patch=tuple(args.patch),
         sigma_bm4d=args.sigma_bm4d, seed=args.seed, transform_cfg=tcfg,
-        bm4d_step=args.bm4d_step,
+        bm4d_step=args.bm4d_step, family=args.family,
     )
 
 

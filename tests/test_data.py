@@ -271,3 +271,32 @@ def test_second_phantom_family_distinct_operating_point():
     # Deterministic in seed.
     b2, _ = neurite_phantom_b((48, 48, 48), seed=1)
     np.testing.assert_array_equal(b, b2)
+
+
+def test_synthetic_dataset_families_deterministic():
+    """SyntheticPatchDataset family selection: 'b' uses the second
+    phantom family, 'mix' alternates per index, and every family stays
+    deterministic per (seed, index)."""
+    import numpy as np
+
+    from exaspim_tpu.data.synthetic import SyntheticPatchDataset
+
+    a = SyntheticPatchDataset(n=4, patch_shape=(16, 16, 16), seed=3)
+    b = SyntheticPatchDataset(n=4, patch_shape=(16, 16, 16), seed=3,
+                              family="b")
+    m = SyntheticPatchDataset(n=4, patch_shape=(16, 16, 16), seed=3,
+                              family="mix")
+    ra, _ = a.raw_and_fg(0)
+    rb, _ = b.raw_and_fg(0)
+    assert not np.array_equal(ra, rb)  # families differ
+    # mix: even index == family a, odd index == family b
+    np.testing.assert_array_equal(m.raw_and_fg(0)[0], ra)
+    np.testing.assert_array_equal(m.raw_and_fg(1)[0], b.raw_and_fg(1)[0])
+    # deterministic
+    np.testing.assert_array_equal(rb, SyntheticPatchDataset(
+        n=4, patch_shape=(16, 16, 16), seed=3, family="b"
+    ).raw_and_fg(0)[0])
+    import pytest
+
+    with pytest.raises(ValueError):
+        SyntheticPatchDataset(family="c")
